@@ -1,0 +1,167 @@
+"""Frozen dataclass configs for the TPU detector stack.
+
+Field names and default values mirror the reference configuration
+(`/root/reference/MaskRCNN/config.py:5-74` and
+`/root/reference/MaskRCNN/shapes.py:17-50`) so behavior is comparable, but the
+implementation is a frozen dataclass: hashable (usable as a jit static arg),
+immutable, and specialized by `dataclasses.replace` instead of subclass
+mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Mask R-CNN style detector configuration (COCO defaults).
+
+    Defaults correspond to the reference `config` class
+    (`MaskRCNN/config.py:5-74`).
+    """
+
+    name: str = "coco"
+
+    # --- image / preprocessing (config.py:9-17) ---
+    image_shape: Tuple[int, int, int] = (1024, 1024, 3)
+    num_classes: int = 81  # reference declares 1 but drives with 81 (inference.py:170)
+    image_min_dim: int = 800
+    image_max_dim: int = 1024
+    image_resize_mode: str = "square"
+    image_min_scale: float = 0.0
+    mean_pixel: Tuple[float, float, float] = (123.7, 116.8, 103.9)
+
+    # --- backbone (config.py:20-24) ---
+    backbone: str = "resnet101"
+    batch_norm_decay: float = 0.9
+    backbone_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    fpn_channels: int = 256
+
+    # --- RPN / anchors (config.py:30-42) ---
+    rpn_anchor_stride: int = 1
+    rpn_anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    rpn_anchor_scales: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    rpn_nms_threshold: float = 0.7
+    rpn_bbox_stddev: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    bbox_stddev: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    pre_nms_rois_count: int = 6000
+    post_nms_rois_training: int = 2000
+    post_nms_rois_inference: int = 1000
+
+    # --- detection head (config.py:46-48) ---
+    detection_min_threshold: float = 0.7
+    detection_nms_threshold: float = 0.3
+    detection_post_nms_instances: int = 100
+
+    # --- ROI heads ---
+    pool_shape: Tuple[int, int] = (7, 7)
+    mask_pool_shape: Tuple[int, int] = (14, 14)
+    mask_shape: Tuple[int, int] = (28, 28)
+
+    # --- training (config.py:52-62) ---
+    rpn_train_anchors_per_image: int = 256
+    train_rois_per_image: int = 200
+    roi_positive_ratio: float = 0.33
+    use_mini_mask: bool = True
+    mini_mask_shape: Tuple[int, int] = (56, 56)
+    max_gt_objects: int = 100
+
+    # --- optimizer ---
+    learning_rate: float = 0.001
+    learning_rate_momentum: float = 0.9
+    weight_decay: float = 1e-4
+    gradient_clip_norm: float = 5.0
+
+    # --- numerics / execution ---
+    compute_dtype: str = "bfloat16"  # backbone/head conv compute dtype
+    # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
+    # smooth-L1, loss_optimize.py:195-197) for parity testing only.
+    compat_reference_box_loss: bool = False
+
+    @property
+    def num_anchors_per_location(self) -> int:
+        return len(self.rpn_anchor_ratios)
+
+    @property
+    def fpn_levels(self) -> Tuple[int, ...]:
+        """Pyramid levels carrying anchors (P2..P6)."""
+        return tuple(range(2, 2 + len(self.backbone_strides)))
+
+    @property
+    def roi_levels(self) -> Tuple[int, ...]:
+        """Pyramid levels used for ROIAlign (P2..P5)."""
+        return (2, 3, 4, 5)
+
+    def feature_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        """Pyramid feature-map shapes for the configured image size.
+
+        ≙ reference `utils.get_resnet_stage_shapes` (utils.py:155-178).
+        """
+        h, w = self.image_shape[:2]
+        return tuple(
+            (-(-h // s), -(-w // s)) for s in self.backbone_strides
+        )
+
+    def num_anchors(self) -> int:
+        k = self.num_anchors_per_location
+        return sum(fh * fw * k for fh, fw in self.feature_shapes())
+
+    def replace(self, **kw) -> "DetectorConfig":
+        return dataclasses.replace(self, **kw)
+
+    def display(self) -> str:
+        lines = ["Configurations:"]
+        for f in dataclasses.fields(self):
+            lines.append("{:35} {}".format(f.name, getattr(self, f.name)))
+        return "\n".join(lines)
+
+
+# Synthetic-shapes config, ≙ reference `ShapesConfig` (MaskRCNN/shapes.py:17-50)
+SHAPES_CONFIG = DetectorConfig(
+    name="shapes",
+    image_shape=(128, 128, 3),
+    num_classes=4,  # background + square/circle/triangle
+    image_min_dim=128,
+    image_max_dim=128,
+    backbone="resnet50",
+    rpn_anchor_scales=(8, 16, 32, 64, 128),
+    train_rois_per_image=32,
+    post_nms_rois_training=2000,
+    post_nms_rois_inference=1000,
+    use_mini_mask=False,
+    mini_mask_shape=(0, 0),
+    max_gt_objects=4,
+)
+
+COCO_CONFIG = DetectorConfig()
+
+
+@dataclass(frozen=True)
+class FasterRCNNConfig:
+    """Faster R-CNN (VGG16) configuration.
+
+    ≙ reference `FasterRCNN/config.py:5-19` + the proposal-layer constants at
+    `FasterRCNN/building_blocks/proposals.py:378-390`.
+    """
+
+    num_classes: int = 4
+    image_shape: Tuple[int, int, int] = (224, 224, 3)
+    backbone_stride: int = 16
+    anchor_scales: Tuple[float, ...] = (8, 16, 32)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+
+    # train / test proposal budgets (proposals.py:378-387)
+    pre_nms_top_n_train: int = 12000
+    post_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 6000
+    post_nms_top_n_test: int = 300
+    nms_threshold: float = 0.2
+    min_box_size: float = 16.0
+
+    pool_shape: Tuple[int, int] = (7, 7)
+
+    def replace(self, **kw) -> "FasterRCNNConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,191 @@
+"""Fixed-size greedy non-max suppression for TPU.
+
+Replaces the reference's serial C++ `tf.image.non_max_suppression` calls made
+inside per-image Python loops (`proposals_tf.py:188-196,218-247`,
+`detection.py:172-208`) with a single static-shape program:
+
+- boxes are sorted by score once (XLA `sort` / `top_k`),
+- suppression runs tile-by-tile: each tile of ``T`` boxes is first suppressed
+  by all surviving higher-scored boxes (one [N, T] IoU block — pure VPU work),
+  then self-suppressed to a fixpoint within the tile,
+- suppressed boxes are zeroed so they drop out of later IoU blocks for free,
+- the output is a fixed-size index list padded with ``-1`` plus a validity
+  mask — no dynamic shapes anywhere.
+
+This computes exactly the greedy-NMS result (same keep set as the serial
+algorithm; ordering ties between equal scores may differ). Class-aware
+suppression (suppress only same-class overlaps) folds the reference's
+map-over-unique-classes per-class NMS (`detection.py:172-208`) into the same
+single pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from objectdetection_tpu.geometry import iou_matrix
+
+
+class NMSResult(NamedTuple):
+    indices: Array  # [max_output] int32, -1 padded, in descending-score order
+    valid: Array  # [max_output] bool
+
+
+def _pad_to_multiple(x: Array, multiple: int, axis: int, value) -> Array:
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _self_suppress(iou: Array, same_class: Array, threshold: float) -> Array:
+    """Greedy suppression within one tile of score-sorted boxes.
+
+    iou: [T, T]; same_class: [T, T] bool. Returns alive mask [T].
+    Iterates the greedy recurrence to a fixpoint:
+        alive[i] = not exists j < i with alive[j] and iou[j, i] > t.
+    """
+    t = iou.shape[0]
+    suppress = (iou > threshold) & same_class
+    # only higher-scored (earlier) boxes can suppress
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    suppress = suppress & (row < col)
+
+    def cond(state):
+        alive, prev_alive, it = state
+        return (it < t) & jnp.any(alive != prev_alive)
+
+    def body(state):
+        alive, _, it = state
+        # box i stays alive if no alive j<i suppresses it
+        killed = jnp.any(suppress & alive[:, None], axis=0)
+        return (~killed, alive, it + 1)
+
+    alive0 = jnp.ones((t,), dtype=bool)
+    killed0 = jnp.any(suppress, axis=0)
+    alive1 = ~killed0
+    alive, _, _ = jax.lax.while_loop(cond, body, (alive1, alive0, jnp.int32(1)))
+    return alive
+
+
+def non_max_suppression(
+    boxes: Array,
+    scores: Array,
+    max_output: int,
+    iou_threshold: float,
+    valid: Optional[Array] = None,
+    class_ids: Optional[Array] = None,
+    tile_size: int = 512,
+) -> NMSResult:
+    """Greedy NMS over [N, 4] boxes with [N] scores.
+
+    Args:
+      boxes: [N, 4] (y1, x1, y2, x2), any consistent coordinate scale.
+      scores: [N].
+      max_output: fixed number of output slots.
+      iou_threshold: suppress a box when IoU with a kept, higher-scored
+        (same-class, if class_ids given) box exceeds this.
+      valid: optional [N] bool — boxes to consider at all.
+      class_ids: optional [N] int — restrict suppression to equal ids
+        (per-class NMS in one pass).
+      tile_size: suppression tile width.
+
+    Returns:
+      NMSResult(indices [max_output] int32 (-1 pad), valid [max_output] bool).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    if class_ids is None:
+        class_ids = jnp.zeros((n,), dtype=jnp.int32)
+    tile_size = min(tile_size, max(n, 1))
+
+    neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
+    scores = jnp.where(valid, scores, neg_inf)
+
+    # Sort descending by score; invalid boxes sink to the end.
+    order = jnp.argsort(-scores)
+    sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
+    svalid = jnp.take(valid, order)
+    sclass = jnp.take(class_ids, order)
+
+    # Invalid boxes are zeroed: zero-area boxes have IoU 0 with everything so
+    # they neither suppress nor survive.
+    sboxes = jnp.where(svalid[:, None], sboxes, 0.0)
+
+    sboxes = _pad_to_multiple(sboxes, tile_size, axis=0, value=0.0)
+    sclass = _pad_to_multiple(sclass, tile_size, axis=0, value=-1)
+    n_pad = sboxes.shape[0]
+    num_tiles = n_pad // tile_size
+
+    def tile_body(i, state_boxes):
+        start = i * tile_size
+        tile = jax.lax.dynamic_slice(state_boxes, (start, 0), (tile_size, 4))
+        tile_cls = jax.lax.dynamic_slice(sclass, (start,), (tile_size,))
+
+        # Cross-tile: IoU of every earlier (surviving) box vs this tile.
+        cross_iou = iou_matrix(state_boxes, tile)  # [n_pad, T]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)[:, 0]
+        earlier = (rows < start)[:, None]
+        same_cls_cross = sclass[:, None] == tile_cls[None, :]
+        killed = jnp.any(
+            (cross_iou > iou_threshold) & earlier & same_cls_cross, axis=0
+        )
+        tile = jnp.where(killed[:, None], 0.0, tile)
+
+        # Within-tile greedy fixpoint.
+        tile_iou = iou_matrix(tile, tile)
+        same_cls = tile_cls[:, None] == tile_cls[None, :]
+        alive = _self_suppress(tile_iou, same_cls, iou_threshold)
+        tile = jnp.where(alive[:, None], tile, 0.0)
+
+        return jax.lax.dynamic_update_slice(state_boxes, tile, (start, 0))
+
+    out_boxes = jax.lax.fori_loop(0, num_tiles, tile_body, sboxes)
+
+    # A surviving box is a valid input with nonzero coordinates left intact.
+    area = (out_boxes[:n, 2] - out_boxes[:n, 0]) * (
+        out_boxes[:n, 3] - out_boxes[:n, 1]
+    )
+    kept = svalid[:n] & (area > 0)
+
+    # Compact kept indices to the front, preserving score order.
+    compact = jnp.argsort(jnp.where(kept, 0, 1), stable=True)
+    kept_sorted = jnp.take(kept, compact)
+    orig_idx = jnp.take(order[:n], compact)
+
+    k = min(max_output, n)
+    out_valid = kept_sorted[:k]
+    out_idx = jnp.where(out_valid, orig_idx[:k], -1).astype(jnp.int32)
+    if k < max_output:
+        out_idx = jnp.pad(out_idx, (0, max_output - k), constant_values=-1)
+        out_valid = jnp.pad(out_valid, (0, max_output - k))
+    return NMSResult(indices=out_idx, valid=out_valid)
+
+
+def nms_boxes(
+    boxes: Array,
+    scores: Array,
+    max_output: int,
+    iou_threshold: float,
+    valid: Optional[Array] = None,
+    tile_size: int = 512,
+) -> Array:
+    """NMS returning the kept boxes zero-padded to [max_output, 4].
+
+    Matches the reference proposal-layer contract
+    (`proposals_tf.py:218-247`): gather kept boxes, pad with [0, 0, 0, 0].
+    """
+    res = non_max_suppression(
+        boxes, scores, max_output, iou_threshold, valid=valid, tile_size=tile_size
+    )
+    gathered = jnp.take(boxes, jnp.maximum(res.indices, 0), axis=0)
+    return jnp.where(res.valid[:, None], gathered, 0.0)

@@ -1,0 +1,192 @@
+"""Multilevel ROIAlign (crop-and-resize) for TPU.
+
+Replaces the reference's per-level `tf.where → gather_nd →
+tf.image.crop_and_resize → re-sort` dance (`maskrcnn.py:104-187`) with a
+static-shape flattened-pyramid gather:
+
+1. every FPN level [H_l, W_l, C] is flattened row-major and concatenated into
+   one [sum(H_l*W_l), C] table with per-level offsets (trace-time constants),
+2. each ROI's pyramid level is computed with the FPN assignment rule
+   (`maskrcnn.py:104-122`) — a per-ROI scalar, not a partition,
+3. bilinear sample positions for the ROI's level become flat row indices, so
+   the whole batch of (ROI × sample-point × 4 corners) reads is ONE gather —
+   no dynamic shapes, no re-sorting, identical output ordering to the input
+   ROIs by construction.
+
+Bilinear semantics match `tf.image.crop_and_resize(method="bilinear")`: for an
+output grid of size P, sample point i lies at ``y1*(H-1) + i*(y2-y1)*(H-1)/(P-1)``
+(boxes in normalized coordinates, corner-aligned).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def _bilinear_weights_1d(coord: Array, size: Array):
+    """coord: [...] continuous position in [0, size-1]. Returns (i0, i1, w1)."""
+    i0 = jnp.floor(coord)
+    w1 = coord - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    i0 = jnp.clip(i0, 0, size - 1)
+    return i0, i1, w1
+
+
+def crop_and_resize(
+    image: Array, boxes: Array, crop_size: Tuple[int, int]
+) -> Array:
+    """Bilinear crop from one feature map: [H, W, C] × [R, 4] → [R, ph, pw, C].
+
+    Boxes are normalized (y1, x1, y2, x2). Single-level building block, ≙
+    `tf.image.crop_and_resize` for one image (used by the Faster R-CNN head,
+    `FasterRCNN/building_blocks/fastrcnn.py:22-70`).
+    """
+    h, w, c = image.shape
+    ph, pw = crop_size
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    def grid(p, lo, hi, size):
+        steps = jnp.arange(p, dtype=jnp.float32)
+        if p > 1:
+            return lo[:, None] * (size - 1) + steps[None, :] * (
+                (hi - lo)[:, None] * (size - 1) / (p - 1)
+            )
+        return 0.5 * (lo + hi)[:, None] * (size - 1)
+
+    ys = grid(ph, y1, y2, h)  # [R, ph]
+    xs = grid(pw, x1, x2, w)  # [R, pw]
+
+    y0i, y1i, wy = _bilinear_weights_1d(ys, h)
+    x0i, x1i, wx = _bilinear_weights_1d(xs, w)
+
+    flat = image.reshape(h * w, c)
+
+    def take(yi, xi):  # [R, ph], [R, pw] → [R, ph, pw, C]
+        idx = yi[:, :, None] * w + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape[0], ph, pw, c
+        )
+
+    top = take(y0i, x0i) * (1 - wx)[:, None, :, None] + take(y0i, x1i) * wx[
+        :, None, :, None
+    ]
+    bot = take(y1i, x0i) * (1 - wx)[:, None, :, None] + take(y1i, x1i) * wx[
+        :, None, :, None
+    ]
+    return top * (1 - wy)[:, :, None, None] + bot * wy[:, :, None, None]
+
+
+def roi_levels(
+    boxes: Array,
+    image_area: float,
+    min_level: int = 2,
+    max_level: int = 5,
+    canonical_level: int = 4,
+    canonical_size: float = 224.0,
+) -> Array:
+    """FPN level assignment per ROI. ≙ maskrcnn.py:104-122.
+
+    boxes: [..., 4] normalized. Returns int32 levels in [min_level, max_level].
+    """
+    h = boxes[..., 2] - boxes[..., 0]
+    w = boxes[..., 3] - boxes[..., 1]
+    scale = jnp.sqrt(jnp.maximum(h * w, 1e-12)) / (
+        canonical_size / np.sqrt(image_area)
+    )
+    lvl = canonical_level + jnp.round(jnp.log2(scale)).astype(jnp.int32)
+    # degenerate (zero-padded) boxes pin to the coarsest level
+    lvl = jnp.where(h * w > 0, lvl, max_level)
+    return jnp.clip(lvl, min_level, max_level)
+
+
+def multilevel_roi_align(
+    features: Sequence[Array],
+    boxes: Array,
+    image_shape: Tuple[int, int],
+    crop_size: Tuple[int, int],
+    min_level: int = 2,
+) -> Array:
+    """ROIAlign across an FPN pyramid for one image.
+
+    Args:
+      features: per-level [H_l, W_l, C] maps, finest first (P2..P5).
+      boxes: [R, 4] normalized proposals.
+      image_shape: (h, w) of the model input image.
+      crop_size: (ph, pw) output resolution.
+      min_level: pyramid level of features[0].
+
+    Returns:
+      [R, ph, pw, C] pooled features in the same ROI order as `boxes`.
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    ph, pw = crop_size
+
+    heights = np.array([f.shape[0] for f in features], dtype=np.int32)
+    widths = np.array([f.shape[1] for f in features], dtype=np.int32)
+    sizes = heights * widths
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+
+    flat = jnp.concatenate(
+        [f.reshape(-1, c) for f in features], axis=0
+    )  # [sum(H*W), C]
+
+    lvl = roi_levels(
+        boxes,
+        image_area=float(image_shape[0] * image_shape[1]),
+        min_level=min_level,
+        max_level=min_level + num_levels - 1,
+    )
+    li = lvl - min_level  # [R] index into level tables
+    lh = jnp.take(jnp.asarray(heights), li)  # [R]
+    lw = jnp.take(jnp.asarray(widths), li)
+    loff = jnp.take(jnp.asarray(offsets), li)
+
+    boxes = jax.lax.stop_gradient(boxes)
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    def grid(p, lo, hi, size):
+        steps = jnp.arange(p, dtype=jnp.float32)
+        sizef = size.astype(jnp.float32)
+        if p > 1:
+            return lo[:, None] * (sizef[:, None] - 1) + steps[None, :] * (
+                (hi - lo)[:, None] * (sizef[:, None] - 1) / (p - 1)
+            )
+        return 0.5 * (lo + hi)[:, None] * (sizef[:, None] - 1)
+
+    ys = grid(ph, y1, y2, lh)  # [R, ph]
+    xs = grid(pw, x1, x2, lw)  # [R, pw]
+
+    y0i, y1i, wy = _bilinear_weights_1d(ys, lh[:, None])
+    x0i, x1i, wx = _bilinear_weights_1d(xs, lw[:, None])
+
+    def take(yi, xi):  # [R, ph] × [R, pw] → [R, ph, pw, C]
+        idx = loff[:, None, None] + yi[:, :, None] * lw[:, None, None] + xi[:, None, :]
+        r = idx.shape[0]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, ph, pw, c)
+
+    wx_ = wx[:, None, :, None]
+    wy_ = wy[:, :, None, None]
+    top = take(y0i, x0i) * (1 - wx_) + take(y0i, x1i) * wx_
+    bot = take(y1i, x0i) * (1 - wx_) + take(y1i, x1i) * wx_
+    return top * (1 - wy_) + bot * wy_
+
+
+def batched_multilevel_roi_align(
+    features: Sequence[Array],
+    boxes: Array,
+    image_shape: Tuple[int, int],
+    crop_size: Tuple[int, int],
+    min_level: int = 2,
+) -> Array:
+    """vmapped pyramid ROIAlign: features [B, H_l, W_l, C] × [B, R, 4] → [B, R, ph, pw, C]."""
+    fn = lambda feats, bxs: multilevel_roi_align(
+        feats, bxs, image_shape, crop_size, min_level
+    )
+    return jax.vmap(fn)(list(features) if isinstance(features, tuple) else features, boxes)

@@ -1,0 +1,19 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+SURVEY.md §4: multi-device code is tested on CPU via
+``xla_force_host_platform_device_count`` — the standard way to exercise mesh
+code without TPU hardware. These env vars must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
