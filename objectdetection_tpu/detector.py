@@ -1,0 +1,282 @@
+"""End-to-end detector API: jitted inference and training step.
+
+≙ the reference drivers (`MaskRCNN/inference.py`, `training.py`) — but where
+the reference runs ≥8 `sess.run` round-trips per batch with numpy/pickle
+handoffs between stages (SURVEY.md §3.1), here `infer_fn` and `train_step`
+are each ONE XLA program: preprocessing windows in, detections (and masks)
+out, with no host boundary crossings in the middle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from objectdetection_tpu import losses as losses_lib
+from objectdetection_tpu.anchors import config_anchors
+from objectdetection_tpu.config import DetectorConfig
+from objectdetection_tpu.geometry import norm_boxes
+from objectdetection_tpu.layers.detection import detection_layer
+from objectdetection_tpu.layers.proposals import proposal_layer
+from objectdetection_tpu.layers.targets import detection_targets, rpn_targets
+from objectdetection_tpu.models.mask_rcnn import MaskRCNN
+
+
+class Detections(NamedTuple):
+    """Fixed-size detection results for a batch."""
+
+    boxes: Array  # [B, N, 4] normalized (y1, x1, y2, x2)
+    class_ids: Array  # [B, N] int32 (0 = empty slot)
+    scores: Array  # [B, N]
+    valid: Array  # [B, N] bool
+    masks: Optional[Array] = None  # [B, N, 28, 28] predicted-class soft masks
+
+
+def build_model(config: DetectorConfig) -> MaskRCNN:
+    return MaskRCNN(config=config)
+
+
+def init_variables(config: DetectorConfig, rng: Array, batch_size: int = 1):
+    """Initialize the full parameter tree (params + frozen batch_stats).
+
+    Parameters are resolution-independent (fully convolutional backbone,
+    dense heads over fixed pool shapes), so init runs on the smallest legal
+    canvas (64², the 2⁶-divisibility floor, fpn.py:160-163) under jit.
+    """
+    model = build_model(config)
+    dummy = jnp.zeros((batch_size, 64, 64, config.image_shape[2]), jnp.float32)
+    return jax.jit(model.init)(rng, dummy)
+
+
+def forward_inference(
+    variables,
+    images: Array,
+    windows: Array,
+    config: DetectorConfig,
+    with_masks: bool = True,
+) -> Detections:
+    """Full inference pipeline on molded images.
+
+    Args:
+      variables: flax variable tree from :func:`init_variables` / checkpoint.
+      images: [B, H, W, 3] molded (resized + mean-subtracted) images.
+      windows: [B, 4] pixel windows of real image content within the canvas.
+      config: detector config (static).
+      with_masks: also run the mask head on final detections.
+    """
+    model = build_model(config)
+    anchors = jnp.asarray(config_anchors(config))  # trace-time constant
+
+    feats, _, rpn_probs, rpn_deltas = model.apply(
+        variables, images, method=model.extract
+    )
+    proposals = proposal_layer(rpn_probs, rpn_deltas, anchors, config, training=False)
+
+    _, cls_probs, bbox = model.apply(
+        variables, feats, proposals, method=model.classify_rois
+    )
+
+    norm_windows = norm_boxes(windows, config.image_shape[:2])
+    det = detection_layer(proposals, cls_probs, bbox, norm_windows, config)
+
+    masks = None
+    if with_masks:
+        det_boxes = det[..., :4]
+        mask_probs = model.apply(
+            variables, feats, det_boxes, method=model.predict_masks
+        )  # [B, N, 28, 28, C]
+        cls = det[..., 4].astype(jnp.int32)
+        masks = jnp.take_along_axis(
+            mask_probs, cls[:, :, None, None, None], axis=-1
+        )[..., 0]
+
+    return Detections(
+        boxes=det[..., :4],
+        class_ids=det[..., 4].astype(jnp.int32),
+        scores=det[..., 5],
+        valid=det[..., 5] > 0,
+        masks=masks,
+    )
+
+
+def make_infer_fn(config: DetectorConfig, with_masks: bool = True):
+    """Returns a jitted `(variables, images, windows) -> Detections`."""
+
+    @jax.jit
+    def infer_fn(variables, images, windows):
+        return forward_inference(variables, images, windows, config, with_masks)
+
+    return infer_fn
+
+
+# --------------------------------------------------------------------------
+# Training
+# --------------------------------------------------------------------------
+
+
+class TrainBatch(NamedTuple):
+    """One device batch of training data (all zero-padded to static shapes)."""
+
+    images: Array  # [B, H, W, 3] molded
+    gt_boxes: Array  # [B, G, 4] normalized
+    gt_class_ids: Array  # [B, G] int32, 0 = padding
+    gt_masks: Optional[Array] = None  # [B, G, H, W] {0,1}
+    active_class_ids: Optional[Array] = None  # [B, C]
+
+
+def compute_losses(
+    variables,
+    batch: TrainBatch,
+    config: DetectorConfig,
+    rng: Array,
+    with_masks: bool = False,
+) -> Dict[str, Array]:
+    """Forward pass + target assignment + all losses (one jit-able program).
+
+    ≙ the reference `Train.build_train_graph` (training.py:194-230) plus the
+    optimizer-facing total loss the reference lacked.
+    """
+    model = build_model(config)
+    anchors_norm = jnp.asarray(config_anchors(config))
+    b = batch.images.shape[0]
+
+    feats, rpn_logits, rpn_probs, rpn_deltas = model.apply(
+        variables, batch.images, method=model.extract
+    )
+
+    # --- RPN targets (vmapped per image, fresh key each) ---
+    rng_rpn, rng_det = jax.random.split(rng)
+    rpn_keys = jax.random.split(rng_rpn, b)
+    rpn_tgt = jax.vmap(
+        lambda gtb, gtv, key: rpn_targets(anchors_norm, gtb, gtv, config, key)
+    )(batch.gt_boxes, batch.gt_class_ids > 0, rpn_keys)
+
+    # --- proposals + detection targets ---
+    # Proposals are training *inputs* to the second stage, not a gradient
+    # path (the reference stops gradients at ROI boxes too, maskrcnn.py:138);
+    # RPN learns via its own losses. This also keeps the NMS while_loop out
+    # of the backward program.
+    proposals = jax.lax.stop_gradient(
+        proposal_layer(rpn_probs, rpn_deltas, anchors_norm, config, training=True)
+    )
+    det_keys = jax.random.split(rng_det, b)
+    if with_masks and batch.gt_masks is not None:
+        det_tgt = jax.vmap(
+            lambda p, gb, gc, gm, key: detection_targets(
+                p, gb, gc, config, key, gt_masks=gm
+            )
+        )(proposals, batch.gt_boxes, batch.gt_class_ids, batch.gt_masks, det_keys)
+    else:
+        det_tgt = jax.vmap(
+            lambda p, gb, gc, key: detection_targets(p, gb, gc, config, key)
+        )(proposals, batch.gt_boxes, batch.gt_class_ids, det_keys)
+
+    # --- ROI heads on sampled rois ---
+    cls_logits, _, bbox = model.apply(
+        variables, feats, det_tgt.rois, method=model.classify_rois
+    )
+
+    active = (
+        batch.active_class_ids
+        if batch.active_class_ids is not None
+        else jnp.ones((b, config.num_classes), jnp.int32)
+    )
+
+    out = {
+        "rpn_class_loss": losses_lib.rpn_class_loss(rpn_tgt.target_class, rpn_logits),
+        "rpn_box_loss": losses_lib.rpn_box_loss(
+            rpn_tgt.target_deltas, rpn_deltas, rpn_tgt.target_class
+        ),
+        "mrcnn_class_loss": losses_lib.mrcnn_class_loss(
+            det_tgt.target_class_ids, cls_logits, active
+        ),
+        "mrcnn_box_loss": losses_lib.mrcnn_box_loss(
+            det_tgt.target_deltas,
+            bbox,
+            det_tgt.target_class_ids,
+            compat_reference=config.compat_reference_box_loss,
+        ),
+    }
+
+    if with_masks and batch.gt_masks is not None:
+        mask_probs = model.apply(
+            variables, feats, det_tgt.rois, method=model.predict_masks
+        )
+        out["mask_loss"] = losses_lib.mask_loss(
+            det_tgt.target_masks, mask_probs, det_tgt.target_class_ids
+        )
+    return out
+
+
+def make_optimizer(config: DetectorConfig) -> optax.GradientTransformation:
+    """SGD + momentum + weight decay + clip — the step the reference never had."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.gradient_clip_norm),
+        optax.add_decayed_weights(config.weight_decay),
+        optax.sgd(config.learning_rate, momentum=config.learning_rate_momentum),
+    )
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+def create_train_state(config: DetectorConfig, rng: Array, batch_size: int = 1):
+    variables = init_variables(config, rng, batch_size)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(config)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: TrainBatch,
+    rng: Array,
+    config: DetectorConfig,
+    with_masks: bool = False,
+) -> Tuple[TrainState, Dict[str, Array]]:
+    """One SGD step (jit/shard_map-able; pure function of its inputs)."""
+    tx = make_optimizer(config)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        parts = compute_losses(variables, batch, config, rng, with_masks)
+        return losses_lib.total_loss(parts), parts
+
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(parts)
+    metrics["total_loss"] = loss
+    new_state = TrainState(
+        params=params,
+        batch_stats=state.batch_stats,
+        opt_state=opt_state,
+        step=state.step + 1,
+    )
+    return new_state, metrics
+
+
+def make_train_step(config: DetectorConfig, with_masks: bool = False):
+    """Returns a jitted, donated `(state, batch, rng) -> (state, metrics)`."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, rng):
+        return train_step(state, batch, rng, config, with_masks)
+
+    return step

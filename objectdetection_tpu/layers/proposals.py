@@ -1,0 +1,61 @@
+"""Proposal layer: RPN outputs + anchors → top proposals.
+
+≙ the reference `Proposals` graph (`proposals_tf.py:98-326`):
+scale deltas by RPN_BBOX_STDDEV → top-k pre-NMS anchors by foreground score →
+decode → clip to [0, 1] → per-image NMS → zero-pad to the post-NMS budget.
+
+The reference loops over images in Python around `tf.image.non_max_suppression`
+(proposals_tf.py:188-196); here the whole thing is one vmapped program over
+the batch using the tiled TPU NMS.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from objectdetection_tpu.config import DetectorConfig
+from objectdetection_tpu.geometry import apply_box_deltas, clip_boxes
+from objectdetection_tpu.ops.nms import nms_boxes
+
+
+def proposal_layer(
+    rpn_probs: Array,
+    rpn_deltas: Array,
+    anchors: Array,
+    config: DetectorConfig,
+    training: bool = False,
+) -> Array:
+    """Generate proposals.
+
+    Args:
+      rpn_probs: [B, A, 2] softmax (bg, fg) per anchor.
+      rpn_deltas: [B, A, 4] raw RPN box deltas.
+      anchors: [A, 4] normalized anchors (shared across the batch).
+      config: detector config.
+      training: pick the train/inference post-NMS budget.
+
+    Returns:
+      [B, P, 4] normalized proposals, zero-padded; P = post-NMS budget.
+    """
+    post_nms = (
+        config.post_nms_rois_training if training else config.post_nms_rois_inference
+    )
+    pre_nms = min(config.pre_nms_rois_count, anchors.shape[0])
+    stddev = jnp.asarray(config.rpn_bbox_stddev, jnp.float32)
+
+    scores = rpn_probs[..., 1]  # [B, A] foreground
+    deltas = rpn_deltas * stddev  # proposals_tf.py:157
+
+    def per_image(scores_i, deltas_i):
+        top_scores, ix = jax.lax.top_k(scores_i, pre_nms)  # sorted desc
+        top_deltas = jnp.take(deltas_i, ix, axis=0)
+        top_anchors = jnp.take(anchors, ix, axis=0)
+        boxes = apply_box_deltas(top_anchors, top_deltas)
+        boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
+        return nms_boxes(
+            boxes, top_scores, post_nms, config.rpn_nms_threshold
+        )
+
+    return jax.vmap(per_image)(scores, deltas)

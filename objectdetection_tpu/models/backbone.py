@@ -1,0 +1,184 @@
+"""ResNet-50/101 + FPN backbone.
+
+Architecture mirrors the reference bottom-up/top-down graphs
+(`MaskRCNN/building_blocks/fpn.py:38-271`): bottleneck stages C2-C5 with
+frozen BatchNorm, 1×1 lateral connections + nearest-neighbor 2× upsampling,
+3×3 output convolutions P2-P5, and P6 = stride-2 subsample of P5.
+
+TPU-native choices:
+- NHWC + configurable ``compute dtype`` (bfloat16 keeps the MXU fed; params
+  stay float32),
+- BatchNorm is always folded as a frozen affine transform (the reference
+  freezes BN everywhere: ``trainable=False`` at fpn.py:66 etc.) so XLA fuses
+  conv+scale+bias+relu into one kernel,
+- module names carry the reference scope names (``res2a_branch2a``,
+  ``fpn_c5p5``...) so the matterport-h5 converter is a pure name map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode batch norm: y = gamma * (x - mean) / sqrt(var + eps) + beta.
+
+    `mean`/`var` live in the ``batch_stats`` collection and are never updated
+    (the reference freezes BN in all paths). Keras-compatible epsilon.
+    """
+
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        ).value
+        inv = scale / jnp.sqrt(var + self.epsilon)
+        y = x * inv.astype(self.dtype) + (bias - mean * inv).astype(self.dtype)
+        return y
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet bottleneck. ≙ fpn.py conv_block (:96-145) / identity_block (:51-94)."""
+
+    filters: Tuple[int, int, int]
+    stride: int = 1
+    projection: bool = False  # conv shortcut (the reference's conv_block)
+    stage: int = 2
+    block: str = "a"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        f1, f2, f3 = self.filters
+        conv = lambda f, k, s, name: nn.Conv(
+            f,
+            (k, k),
+            strides=(s, s),
+            padding="SAME",
+            name=name,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        bn = lambda name: FrozenBatchNorm(name=name, dtype=self.dtype)
+        cn = f"res{self.stage}{self.block}_branch"
+        bnn = f"bn{self.stage}{self.block}_branch"
+
+        if self.projection:
+            shortcut = conv(f3, 1, self.stride, cn + "1")(x)
+            shortcut = bn(bnn + "1")(shortcut)
+        else:
+            shortcut = x
+
+        y = conv(f1, 1, self.stride, cn + "2a")(x)
+        y = nn.relu(bn(bnn + "2a")(y))
+        y = conv(f2, 3, 1, cn + "2b")(y)
+        y = nn.relu(bn(bnn + "2b")(y))
+        y = conv(f3, 1, 1, cn + "2c")(y)
+        y = bn(bnn + "2c")(y)
+        return nn.relu(y + shortcut)
+
+
+RESNET_STAGE4_BLOCKS = {"resnet50": 6, "resnet101": 23}
+
+
+class ResNetBottomUp(nn.Module):
+    """C2..C5 feature extractor. ≙ fpn.fpn_bottom_up_graph (fpn.py:147-219).
+
+    Note the reference builds `1 + block_count` stage-4 blocks (a conv block
+    plus ``range(block_count)`` identity blocks with block_count 5/22,
+    fpn.py:200-202), i.e. 6 for R50 and 23 for R101 — standard ResNet.
+    """
+
+    model: str = "resnet101"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
+        assert self.model in RESNET_STAGE4_BLOCKS
+        dt = self.dtype
+        x = x.astype(dt)
+
+        # Stage 1: pad 3, conv7x7/2 VALID, BN, relu, maxpool3x3/2 SAME
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding="VALID", name="conv1",
+            dtype=dt, param_dtype=jnp.float32,
+        )(x)
+        x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=dt)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        def stage(x, stage_idx, filters, first_stride, num_blocks):
+            x = BottleneckBlock(
+                filters, stride=first_stride, projection=True,
+                stage=stage_idx, block="a", dtype=dt,
+            )(x)
+            for i in range(1, num_blocks):
+                x = BottleneckBlock(
+                    filters, stage=stage_idx, block=chr(ord("a") + i), dtype=dt
+                )(x)
+            return x
+
+        c2 = stage(x, 2, (64, 64, 256), 1, 3)
+        c3 = stage(c2, 3, (128, 128, 512), 2, 4)
+        c4 = stage(c3, 4, (256, 256, 1024), 2, 1 + RESNET_STAGE4_BLOCKS[self.model])
+        c5 = stage(c4, 5, (512, 512, 2048), 2, 3)
+        return c2, c3, c4, c5
+
+
+def upsample2x_nearest(x: Array) -> Array:
+    """[B, H, W, C] → [B, 2H, 2W, C] nearest neighbor (≙ KL.UpSampling2D)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class ResNetFPN(nn.Module):
+    """Full backbone: image → (P2, P3, P4, P5, P6).
+
+    ≙ FPN.get_fpn_graph (fpn.py:221-270). P6 is a stride-2 subsample of P5
+    (the reference's pool_size-1 stride-2 max pool is exactly subsampling).
+    """
+
+    model: str = "resnet101"
+    channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Array) -> Tuple[Array, ...]:
+        dt = self.dtype
+        c2, c3, c4, c5 = ResNetBottomUp(model=self.model, dtype=dt, name="resnet")(
+            images
+        )
+
+        lat = lambda name: nn.Conv(
+            self.channels, (1, 1), name=name, dtype=dt, param_dtype=jnp.float32
+        )
+        out = lambda name: nn.Conv(
+            self.channels, (3, 3), padding="SAME", name=name,
+            dtype=dt, param_dtype=jnp.float32,
+        )
+
+        m5 = lat("fpn_c5p5")(c5)
+        m4 = upsample2x_nearest(m5) + lat("fpn_c4p4")(c4)
+        m3 = upsample2x_nearest(m4) + lat("fpn_c3p3")(c3)
+        m2 = upsample2x_nearest(m3) + lat("fpn_c2p2")(c2)
+
+        p2 = out("fpn_p2")(m2)
+        p3 = out("fpn_p3")(m3)
+        p4 = out("fpn_p4")(m4)
+        p5 = out("fpn_p5")(m5)
+        p6 = p5[:, ::2, ::2, :]
+        return p2, p3, p4, p5, p6

@@ -1,0 +1,89 @@
+"""The Mask R-CNN network module: backbone + RPN + ROI heads in one Flax tree.
+
+This replaces the reference's stage-wise graph construction with pickle
+handoffs (`inference.py:36-254`, SURVEY.md §3.1-3.2) — here the whole network
+is one parameter tree and every stage runs inside a single jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from objectdetection_tpu.config import DetectorConfig
+from objectdetection_tpu.models.backbone import ResNetFPN
+from objectdetection_tpu.models.heads import BoxClassHead, MaskHead
+from objectdetection_tpu.models.rpn import RPNHead
+from objectdetection_tpu.ops.roi_align import batched_multilevel_roi_align
+
+
+class MaskRCNN(nn.Module):
+    """Parameter container + forward methods for the full detector."""
+
+    config: DetectorConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype)
+        self.backbone = ResNetFPN(
+            model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt, name="fpn"
+        )
+        self.rpn = RPNHead(
+            anchors_per_location=cfg.num_anchors_per_location,
+            anchor_stride=cfg.rpn_anchor_stride,
+            dtype=dt,
+            name="rpn_model",
+        )
+        self.box_head = BoxClassHead(
+            num_classes=cfg.num_classes, dtype=dt, name="mrcnn"
+        )
+        self.mask_head = MaskHead(
+            num_classes=cfg.num_classes, dtype=dt, name="mrcnn_mask"
+        )
+
+    def extract(self, images: Array):
+        """images [B, H, W, 3] → (pyramid P2..P6, rpn logits/probs/deltas)."""
+        feats = self.backbone(images)
+        logits, probs, deltas = self.rpn(feats)
+        return feats, logits, probs, deltas
+
+    def classify_rois(self, feats: Sequence[Array], rois: Array):
+        """ROIAlign + box/class head: rois [B, R, 4] → (logits, probs, bbox)."""
+        cfg = self.config
+        pooled = batched_multilevel_roi_align(
+            list(feats[:4]),
+            rois,
+            tuple(cfg.image_shape[:2]),
+            tuple(cfg.pool_shape),
+        )
+        return self.box_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
+
+    def predict_masks(self, feats: Sequence[Array], rois: Array) -> Array:
+        """ROIAlign 14² + mask head: rois [B, R, 4] → [B, R, 28, 28, C]."""
+        cfg = self.config
+        pooled = batched_multilevel_roi_align(
+            list(feats[:4]),
+            rois,
+            tuple(cfg.image_shape[:2]),
+            tuple(cfg.mask_pool_shape),
+        )
+        return self.mask_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
+
+    def __call__(self, images: Array):
+        """Init-friendly pass touching every submodule."""
+        feats, logits, probs, deltas = self.extract(images)
+        b = images.shape[0]
+        rois = jnp.tile(
+            jnp.array([[[0.1, 0.1, 0.6, 0.6]]], jnp.float32), (b, 1, 1)
+        )
+        cls_logits, cls_probs, bbox = self.classify_rois(feats, rois)
+        masks = self.mask_head(
+            jnp.zeros(
+                (b, 1, *self.config.mask_pool_shape, self.config.fpn_channels),
+                jnp.float32,
+            )
+        )
+        return logits, probs, deltas, cls_logits, bbox, masks

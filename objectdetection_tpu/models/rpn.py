@@ -1,0 +1,63 @@
+"""Region Proposal Network head.
+
+≙ the reference RPN (`MaskRCNN/building_blocks/rpn.py:19-165`): a shared 3×3
+conv(512) + relu, then 1×1 convs producing 2·k class logits and 4·k box
+deltas per location, reshaped to ``[B, H·W·k, 2|4]``.
+
+The reference instantiates one RPN per pyramid level with shared weights and
+runs them in a host Python loop with numpy round-trips between levels
+(`inference.py:111-134`). Here one module is applied to every level inside a
+single jitted program; outputs concatenate along the anchor axis in P2→P6
+order, matching the anchor table layout from ``anchors.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class RPNHead(nn.Module):
+    anchors_per_location: int = 3
+    anchor_stride: int = 1
+    channels: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_maps: Sequence[Array]) -> Tuple[Array, Array, Array]:
+        """[B, H_l, W_l, C] per level → (logits, probs, deltas) over all anchors.
+
+        Returns logits [B, A, 2], probs [B, A, 2], deltas [B, A, 4] with
+        A = Σ_l H_l·W_l·k in pyramid order.
+        """
+        k = self.anchors_per_location
+        s = self.anchor_stride
+        dt = self.dtype
+        shared_conv = nn.Conv(
+            self.channels, (3, 3), strides=(s, s), padding="SAME",
+            name="rpn_conv_shared", dtype=dt, param_dtype=jnp.float32,
+        )
+        class_conv = nn.Conv(
+            2 * k, (1, 1), name="rpn_class_raw", dtype=dt, param_dtype=jnp.float32
+        )
+        bbox_conv = nn.Conv(
+            4 * k, (1, 1), name="rpn_bbox_pred", dtype=dt, param_dtype=jnp.float32
+        )
+
+        logits_all: List[Array] = []
+        deltas_all: List[Array] = []
+        for fm in feature_maps:
+            shared = nn.relu(shared_conv(fm))
+            logits = class_conv(shared)
+            b = logits.shape[0]
+            logits_all.append(logits.reshape(b, -1, 2))
+            deltas_all.append(bbox_conv(shared).reshape(b, -1, 4))
+
+        logits = jnp.concatenate(logits_all, axis=1).astype(jnp.float32)
+        deltas = jnp.concatenate(deltas_all, axis=1).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return logits, probs, deltas
