@@ -1,0 +1,111 @@
+"""Headline benchmark: Mask R-CNN ResNet-101 inference throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md); the bar is the
+BASELINE.json north-star of 200 images/sec/chip for ResNet-101 Mask R-CNN
+inference at 1024² on TPU v5e. vs_baseline = value / 200.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--backbone", default="resnet101")
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--no-masks", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu.config import COCO_CONFIG
+    from objectdetection_tpu import detector
+
+    cfg = COCO_CONFIG.replace(
+        backbone=args.backbone,
+        image_shape=(args.image_size, args.image_size, 3),
+        image_max_dim=args.image_size,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.rand(args.batch, args.image_size, args.image_size, 3).astype(np.float32)
+        * 255.0
+        - 128.0
+    )
+    windows = jnp.tile(
+        jnp.asarray(
+            [[0.0, 0.0, float(args.image_size), float(args.image_size)]]
+        ),
+        (args.batch, 1),
+    )
+
+    # Timing methodology: this box reaches the TPU through a relay where
+    # block_until_ready is a no-op and every dispatch costs ~40 ms, so we
+    # run the iteration loop ON DEVICE (fori_loop with a data dependency
+    # threaded through) and force sync with a scalar readback. Per-iter time
+    # = (t(iters) - t(1)) / (iters - 1), which cancels dispatch + readback.
+    @jax.jit
+    def run(variables, images, windows, n):
+        def body(_, carry):
+            imgs, acc = carry
+            det = detector.forward_inference(
+                variables, imgs, windows, cfg, with_masks=not args.no_masks
+            )
+            acc = acc + jnp.sum(det.scores)
+            # fold outputs back into inputs so iterations can't be collapsed
+            imgs = imgs + 1e-20 * acc
+            return imgs, acc
+
+        _, acc = jax.lax.fori_loop(0, n, body, (images, jnp.float32(0)))
+        return acc
+
+    t0 = time.time()
+    float(run(variables, images, windows, jnp.int32(1)))
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    for _ in range(args.warmup):
+        float(run(variables, images, windows, jnp.int32(1)))
+
+    t0 = time.time()
+    float(run(variables, images, windows, jnp.int32(1)))
+    t_one = time.time() - t0
+
+    t0 = time.time()
+    float(run(variables, images, windows, jnp.int32(1 + args.iters)))
+    t_many = time.time() - t0
+
+    dt = max(t_many - t_one, 1e-9)
+    imgs_per_sec = args.batch * args.iters / dt
+    print(
+        f"{args.iters} iters of batch {args.batch}: {dt:.3f}s "
+        f"({1000 * dt / args.iters:.1f} ms/batch)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r101_1024_infer_throughput",
+                "value": round(imgs_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Device-mesh data parallelism.
+
+The reference has **zero** distributed code (SURVEY.md §2.3): batching is a
+Python loop inside graph construction, and its only nod to multi-device is an
+unused ``GPU_COUNT``/``IMAGES_PER_GPU`` config stub (shapes.py:27-28).
+
+Here scaling is first-class and TPU-native: a `jax.sharding.Mesh` with a
+``data`` axis, batches laid out as global `jax.Array`s sharded over that axis,
+and plain `jax.jit` compiling the global program — XLA inserts the ICI
+collectives (psum for loss/grad reductions) automatically. This is the
+NCCL-free, mesh-declarative equivalent of a DDP wrapper.
+
+For these model sizes (~45-65M params) data parallelism is the supported
+scaling story; the mesh helper accepts extra axes so a ``model`` axis can
+shard heads later without API changes (documented out-of-scope for parity,
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from objectdetection_tpu import detector as detector_lib
+from objectdetection_tpu.config import DetectorConfig
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """1-D (or reshapeable) mesh over the first `n_devices` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the `data` mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays as global arrays sharded on axis 0."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), sh) if x is not None else None,
+        batch,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_parallel_infer_fn(
+    config: DetectorConfig, mesh: Mesh, with_masks: bool = True
+):
+    """Data-parallel inference: variables replicated, batch sharded.
+
+    The per-image pipeline has no cross-image communication, so XLA compiles
+    this to fully parallel per-device programs — the multi-chip equivalent of
+    the reference's single-image `inference.py` with zero code changes.
+    """
+    rep, sh = replicated(mesh), batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, sh, sh),
+        out_shardings=sh,
+    )
+    def infer_fn(variables, images, windows):
+        return detector_lib.forward_inference(
+            variables, images, windows, config, with_masks
+        )
+
+    return infer_fn
+
+
+def make_parallel_train_step(
+    config: DetectorConfig, mesh: Mesh, with_masks: bool = False
+):
+    """Data-parallel training: state replicated, batch sharded, grads psum'd.
+
+    Losses are global masked means over the sharded batch, so XLA emits the
+    cross-device reductions (psum over ICI) inside the step — no manual
+    collectives, no gradient-sync code.
+    """
+    rep, sh = replicated(mesh), batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, sh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+    def step(state, batch, rng):
+        return detector_lib.train_step(state, batch, rng, config, with_masks)
+
+    return step
+
+
+def replicate_state(state, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), state)

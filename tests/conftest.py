@@ -16,4 +16,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) pins jax_platforms via config, which
+# overrides the env var — force CPU explicitly before any backend init.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
