@@ -185,9 +185,14 @@ def detection_targets(
         keep_pos, pos_rank, jnp.where(keep_neg, p + neg_rank, 3 * p)
     )
     order = jnp.argsort(sort_key)[:t]
+    if order.shape[0] < t:  # fewer proposals than the ROI budget: pad
+        order = jnp.pad(order, (0, t - order.shape[0]))
+        pad_row = jnp.arange(t) >= p
+    else:
+        pad_row = jnp.zeros((t,), bool)
     rois = jnp.take(proposals, order, axis=0)
-    row_pos = jnp.take(keep_pos, order)
-    row_valid = jnp.take(keep_pos | keep_neg, order)
+    row_pos = jnp.take(keep_pos, order) & ~pad_row
+    row_valid = (jnp.take(keep_pos | keep_neg, order)) & ~pad_row
     rois = jnp.where(row_valid[:, None], rois, 0.0)
 
     gt_assign = jnp.argmax(jnp.take(iou, order, axis=0), axis=1)  # [T]

@@ -28,6 +28,7 @@ def smooth_l1(x: Array) -> Array:
 
 
 def _masked_mean(values: Array, mask: Array) -> Array:
+    mask = jnp.broadcast_to(mask, values.shape)
     denom = jnp.sum(mask)
     return jnp.where(denom > 0, jnp.sum(values * mask) / jnp.maximum(denom, 1), 0.0)
 

@@ -91,7 +91,8 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + shortcut)
 
 
-RESNET_STAGE4_BLOCKS = {"resnet50": 6, "resnet101": 23}
+# identity blocks after the stage-4 conv block (fpn.py:200-202)
+RESNET_STAGE4_BLOCKS = {"resnet50": 5, "resnet101": 22}
 
 
 class ResNetBottomUp(nn.Module):
@@ -124,10 +125,13 @@ class ResNetBottomUp(nn.Module):
             x = BottleneckBlock(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
+                name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
+                blk = chr(ord("a") + i)
                 x = BottleneckBlock(
-                    filters, stage=stage_idx, block=chr(ord("a") + i), dtype=dt
+                    filters, stage=stage_idx, block=blk, dtype=dt,
+                    name=f"res{stage_idx}{blk}",
                 )(x)
             return x
 

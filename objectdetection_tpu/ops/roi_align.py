@@ -166,16 +166,37 @@ def multilevel_roi_align(
     y0i, y1i, wy = _bilinear_weights_1d(ys, lh[:, None])
     x0i, x1i, wx = _bilinear_weights_1d(xs, lw[:, None])
 
-    def take(yi, xi):  # [R, ph] × [R, pw] → [R, ph, pw, C]
-        idx = loff[:, None, None] + yi[:, :, None] * lw[:, None, None] + xi[:, None, :]
-        r = idx.shape[0]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(r, ph, pw, c)
+    # One fused gather for all 4 bilinear corners (a single [R·ph·pw·4]-row
+    # HBM gather — the dominant cost), then a dtype-preserving weighted
+    # reduce. Splitting into 4 gathers + fp32 lerps costs ~3x in HBM traffic.
+    r = boxes.shape[0]
 
-    wx_ = wx[:, None, :, None]
-    wy_ = wy[:, :, None, None]
-    top = take(y0i, x0i) * (1 - wx_) + take(y0i, x1i) * wx_
-    bot = take(y1i, x0i) * (1 - wx_) + take(y1i, x1i) * wx_
-    return top * (1 - wy_) + bot * wy_
+    def flat_idx(yi, xi):  # [R, ph] × [R, pw] → [R, ph, pw]
+        return loff[:, None, None] + yi[:, :, None] * lw[:, None, None] + xi[:, None, :]
+
+    idx4 = jnp.stack(
+        [
+            flat_idx(y0i, x0i),
+            flat_idx(y0i, x1i),
+            flat_idx(y1i, x0i),
+            flat_idx(y1i, x1i),
+        ],
+        axis=-1,
+    )  # [R, ph, pw, 4]
+    gathered = jnp.take(flat, idx4.reshape(-1), axis=0).reshape(r, ph, pw, 4, c)
+
+    wy_ = wy[:, :, None]  # [R, ph, 1]
+    wx_ = wx[:, None, :]  # [R, 1, pw]
+    w4 = jnp.stack(
+        [
+            (1 - wy_) * (1 - wx_),
+            (1 - wy_) * wx_,
+            wy_ * (1 - wx_),
+            wy_ * wx_,
+        ],
+        axis=-1,
+    ).astype(flat.dtype)  # [R, ph, pw, 4]
+    return jnp.sum(gathered * w4[..., None], axis=-2)
 
 
 def batched_multilevel_roi_align(
