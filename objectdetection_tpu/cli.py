@@ -1,0 +1,195 @@
+"""Command-line interface.
+
+The reference has no CLI (hardcoded paths in drivers, SURVEY.md §5.6); this
+is the framework's user entry point:
+
+    odtpu demo    — inference on synthetic shapes, writes overlay PNGs
+    odtpu train   — train on the shapes dataset
+    odtpu infer   — run detection on image files (optionally with COCO h5)
+    odtpu bench   — throughput measurement (same core as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_demo(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import detector, viz
+    from objectdetection_tpu.config import SHAPES_CONFIG
+    from objectdetection_tpu.data.shapes import CLASS_NAMES, ShapesDataset
+
+    cfg = SHAPES_CONFIG
+    print("initializing model (shapes config)...", file=sys.stderr)
+    variables = detector.init_variables(cfg, jax.random.PRNGKey(args.seed))
+    ds = ShapesDataset(args.num_images, 128, 128, seed=args.seed)
+    batch = ds.load_batch(list(range(args.num_images)), cfg, with_masks=False)
+    windows = jnp.tile(
+        jnp.asarray([[0.0, 0.0, 128.0, 128.0]]), (args.num_images, 1)
+    )
+    infer = detector.make_infer_fn(cfg, with_masks=True)
+    t0 = time.time()
+    det = infer(variables, jnp.asarray(batch.images), windows)
+    boxes = np.asarray(det.boxes)
+    print(f"inference: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    import cv2
+
+    for i in range(args.num_images):
+        valid = np.asarray(det.valid[i])
+        pix = boxes[i][valid] * 127.0 + np.array([0, 0, 1, 1])
+        img = viz.draw_detections(
+            ds.image(i),
+            pix,
+            np.asarray(det.class_ids[i])[valid],
+            np.asarray(det.scores[i])[valid],
+            class_names=CLASS_NAMES,
+            masks=np.asarray(det.masks[i])[valid],
+        )
+        out = f"{args.out_prefix}{i}.png"
+        cv2.imwrite(out, img[:, :, ::-1])
+        print(f"wrote {out} ({int(valid.sum())} detections)")
+    print("demo ok")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import checkpoint, detector
+    from objectdetection_tpu.config import SHAPES_CONFIG
+    from objectdetection_tpu.data.shapes import ShapesDataset
+
+    cfg = SHAPES_CONFIG.replace(post_nms_rois_training=args.post_nms)
+    ds = ShapesDataset(args.dataset_size, 128, 128, seed=args.seed)
+    state = detector.create_train_state(cfg, jax.random.PRNGKey(args.seed))
+    step_fn = detector.make_train_step(cfg, with_masks=args.masks)
+    rng = np.random.RandomState(args.seed)
+
+    for step in range(args.steps):
+        ids = rng.randint(0, args.dataset_size, args.batch).tolist()
+        batch = jax.tree.map(
+            jnp.asarray, ds.load_batch(ids, cfg, with_masks=args.masks)
+        )
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            vals = {k: round(float(v), 4) for k, v in metrics.items()}
+            print(f"step {step}: {vals}")
+
+    if args.ckpt:
+        checkpoint.save_checkpoint(args.ckpt, state)
+        print(f"saved checkpoint to {args.ckpt}")
+
+
+def cmd_infer(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import checkpoint, detector, viz
+    from objectdetection_tpu.config import COCO_CONFIG
+    from objectdetection_tpu.data.preprocess import mold_image_host, unmold_detections
+    from objectdetection_tpu.data.coco import COCO_CLASS_NAMES
+
+    import cv2
+
+    cfg = COCO_CONFIG
+    variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.weights:
+        print(f"loading weights from {args.weights}", file=sys.stderr)
+        variables = checkpoint.load_matterport_h5(args.weights, variables)
+
+    infer = detector.make_infer_fn(cfg, with_masks=not args.no_masks)
+    for path in args.images:
+        bgr = cv2.imread(path)
+        if bgr is None:
+            print(f"cannot read {path}", file=sys.stderr)
+            continue
+        rgb = bgr[:, :, ::-1]
+        molded, window, _ = mold_image_host(rgb, cfg)
+        det = infer(
+            variables,
+            jnp.asarray(molded[None]),
+            jnp.asarray(window[None].astype(np.float32)),
+        )
+        boxes, class_ids, scores, valid = unmold_detections(
+            jnp.concatenate(
+                [
+                    det.boxes[0],
+                    det.class_ids[0][:, None].astype(jnp.float32),
+                    det.scores[0][:, None],
+                ],
+                axis=1,
+            ),
+            jnp.asarray(window.astype(np.float32)),
+            cfg.image_shape[:2],
+            jnp.asarray(rgb.shape[:2]),
+        )
+        valid = np.asarray(valid)
+        n = int(valid.sum())
+        print(f"{path}: {n} detections")
+        img = viz.draw_detections(
+            rgb,
+            np.asarray(boxes)[valid],
+            np.asarray(class_ids)[valid],
+            np.asarray(scores)[valid],
+            class_names=COCO_CLASS_NAMES,
+            masks=np.asarray(det.masks[0])[valid] if det.masks is not None else None,
+        )
+        out = path.rsplit(".", 1)[0] + "_det.png"
+        cv2.imwrite(out, img[:, :, ::-1])
+        print(f"wrote {out}")
+
+
+def cmd_bench(args):
+    from bench import main as bench_main  # reuse the repo-root harness
+
+    sys.argv = ["bench"] + args.rest
+    bench_main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="odtpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="shapes-dataset inference demo")
+    d.add_argument("--num-images", type=int, default=2)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--out-prefix", default="demo_")
+    d.set_defaults(fn=cmd_demo)
+
+    t = sub.add_parser("train", help="train on synthetic shapes")
+    t.add_argument("--steps", type=int, default=20)
+    t.add_argument("--batch", type=int, default=2)
+    t.add_argument("--dataset-size", type=int, default=64)
+    t.add_argument("--post-nms", type=int, default=256)
+    t.add_argument("--masks", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=5)
+    t.add_argument("--ckpt", default="")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="detect objects in image files")
+    i.add_argument("images", nargs="+")
+    i.add_argument("--weights", default="", help="matterport mask_rcnn_coco.h5")
+    i.add_argument("--no-masks", action="store_true")
+    i.set_defaults(fn=cmd_infer)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("rest", nargs=argparse.REMAINDER)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
