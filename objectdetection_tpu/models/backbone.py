@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -95,6 +96,61 @@ class BottleneckBlock(nn.Module):
 RESNET_STAGE4_BLOCKS = {"resnet50": 5, "resnet101": 22}
 
 
+class Stage1Conv(nn.Module):
+    """ResNet stem: pad 3 + conv7x7/2 VALID (fpn.py:167-172).
+
+    `space_to_depth=True` runs the MXU-friendly equivalent: the 7x7 kernel
+    zero-padded to 8x8 and regrouped as a stride-1 4x4 conv over
+    2x2-blocked input. Parameter layout is identical in both modes.
+    """
+
+    space_to_depth: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (7, 7, cin, 64), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (64,), jnp.float32)
+        dt = self.dtype
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+
+        if not self.space_to_depth or h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(dt)
+
+        # out[i] = Σ_{k=0..6} x[2i + k - 3] · w[k]
+        #        = Σ_{k=0..7} x[2i + k - 4] · w8[k],  w8 = [0, w]
+        # With 2x2 blocks y[j] = (x[2j], x[2j+1]):
+        #   out[i] = Σ_{j=0..3} y[i - 2 + j] · K[j],  K[j] = (w8[2j], w8[2j+1])
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,64]
+        k4 = (
+            k8.reshape(4, 2, 8, cin, 64)  # [jy, dy, kx, c, o]
+            .transpose(0, 2, 1, 3, 4)  # [jy, kx, dy, c, o]
+            .reshape(4, 4, 2, 2, cin, 64)  # [jy, jx, dx, dy, c, o]
+            .transpose(0, 1, 3, 2, 4, 5)  # [jy, jx, dy, dx, c, o]
+            .reshape(4, 4, 2 * 2 * cin, 64)
+        )
+        # space-to-depth: [B, H/2, W/2, 2·2·C] with (dy, dx, c) channel order
+        xs = (
+            x.reshape(b, h // 2, 2, w // 2, 2, cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 2 * 2 * cin)
+        )
+        y = jax.lax.conv_general_dilated(
+            xs, k4, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(dt)
+
+
 class ResNetBottomUp(nn.Module):
     """C2..C5 feature extractor. ≙ fpn.fpn_bottom_up_graph (fpn.py:147-219).
 
@@ -105,6 +161,7 @@ class ResNetBottomUp(nn.Module):
 
     model: str = "resnet101"
     dtype: Any = jnp.float32
+    conv1_space_to_depth: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -112,11 +169,15 @@ class ResNetBottomUp(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
 
-        # Stage 1: pad 3, conv7x7/2 VALID, BN, relu, maxpool3x3/2 SAME
-        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding="VALID", name="conv1",
-            dtype=dt, param_dtype=jnp.float32,
+        # Stage 1: pad 3, conv7x7/2 VALID, BN, relu, maxpool3x3/2 SAME.
+        # A stride-2 7x7 conv on 3 channels starves the MXU (3 of 128 lanes
+        # used); the space-to-depth form is the standard TPU rewrite: the
+        # same parameters [7,7,3,64] are zero-padded to an 8x8 kernel and
+        # reshaped into a stride-1 4x4 conv over 2x2-blocked 12-channel
+        # input — mathematically identical output, checkpoint layout
+        # unchanged (conv1/kernel stays [7,7,3,64]).
+        x = Stage1Conv(
+            space_to_depth=self.conv1_space_to_depth, dtype=dt, name="conv1"
         )(x)
         x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=dt)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -159,13 +220,15 @@ class ResNetFPN(nn.Module):
     model: str = "resnet101"
     channels: int = 256
     dtype: Any = jnp.float32
+    conv1_space_to_depth: bool = True
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
         dt = self.dtype
-        c2, c3, c4, c5 = ResNetBottomUp(model=self.model, dtype=dt, name="resnet")(
-            images
-        )
+        c2, c3, c4, c5 = ResNetBottomUp(
+            model=self.model, dtype=dt,
+            conv1_space_to_depth=self.conv1_space_to_depth, name="resnet",
+        )(images)
 
         lat = lambda name: nn.Conv(
             self.channels, (1, 1), name=name, dtype=dt, param_dtype=jnp.float32

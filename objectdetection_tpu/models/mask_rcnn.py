@@ -29,7 +29,8 @@ class MaskRCNN(nn.Module):
         cfg = self.config
         dt = jnp.dtype(cfg.compute_dtype)
         self.backbone = ResNetFPN(
-            model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt, name="fpn"
+            model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt,
+            conv1_space_to_depth=cfg.conv1_space_to_depth, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

@@ -76,6 +76,27 @@ def _self_suppress(iou: Array, same_class: Array, threshold: float) -> Array:
     return alive
 
 
+def default_nms_backend() -> str:
+    """'pallas' on TPU, 'xla' elsewhere (module-level override via
+    `set_nms_backend`)."""
+    if _NMS_BACKEND_OVERRIDE is not None:
+        return _NMS_BACKEND_OVERRIDE
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+_NMS_BACKEND_OVERRIDE: Optional[str] = None
+
+
+def set_nms_backend(backend: Optional[str]) -> None:
+    """Force 'xla' or 'pallas' globally (None = auto)."""
+    global _NMS_BACKEND_OVERRIDE
+    assert backend in (None, "xla", "pallas")
+    _NMS_BACKEND_OVERRIDE = backend
+
+
 def non_max_suppression(
     boxes: Array,
     scores: Array,
@@ -84,6 +105,7 @@ def non_max_suppression(
     valid: Optional[Array] = None,
     class_ids: Optional[Array] = None,
     tile_size: int = 512,
+    backend: Optional[str] = None,
 ) -> NMSResult:
     """Greedy NMS over [N, 4] boxes with [N] scores.
 
@@ -126,6 +148,15 @@ def non_max_suppression(
     n_pad = sboxes.shape[0]
     num_tiles = n_pad // tile_size
 
+    backend = backend or default_nms_backend()
+    if backend == "pallas":
+        from objectdetection_tpu.ops.nms_pallas import nms_suppress_pallas
+
+        out_boxes = nms_suppress_pallas(
+            sboxes, sclass, iou_threshold, tile_size=min(tile_size, 256)
+        )
+        return _finalize(out_boxes, svalid, order, n, max_output)
+
     def tile_body(i, state_boxes):
         start = i * tile_size
         tile = jax.lax.dynamic_slice(state_boxes, (start, 0), (tile_size, 4))
@@ -150,7 +181,11 @@ def non_max_suppression(
         return jax.lax.dynamic_update_slice(state_boxes, tile, (start, 0))
 
     out_boxes = jax.lax.fori_loop(0, num_tiles, tile_body, sboxes)
+    return _finalize(out_boxes, svalid, order, n, max_output)
 
+
+def _finalize(out_boxes, svalid, order, n, max_output) -> NMSResult:
+    """Survivor table → compact (indices, valid) in descending-score order."""
     # A surviving box is a valid input with nonzero coordinates left intact.
     area = (out_boxes[:n, 2] - out_boxes[:n, 0]) * (
         out_boxes[:n, 3] - out_boxes[:n, 1]

@@ -1,0 +1,92 @@
+"""Evaluator tests with analytically known AP values."""
+
+import numpy as np
+
+from objectdetection_tpu.evaluate import DetectionEvaluator, average_precision
+from objectdetection_tpu import metrics
+
+
+class TestAveragePrecision:
+    def test_perfect(self):
+        assert average_precision(np.array([1.0]), np.array([1.0])) == 1.0
+
+    def test_half_precision(self):
+        # recall reaches 1.0 with precision 0.5 throughout
+        r = np.array([0.5, 1.0])
+        p = np.array([0.5, 0.5])
+        assert abs(average_precision(r, p) - 0.5) < 1e-6
+
+
+class TestEvaluator:
+    def test_perfect_detection(self):
+        ev = DetectionEvaluator(num_classes=3)
+        gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+        ev.add_image(gt, [1, 2], [0.9, 0.8], gt, [1, 2])
+        res = ev.evaluate()
+        assert res["mAP"] == 1.0
+        assert res["AP50"] == 1.0
+
+    def test_miss_halves_recall(self):
+        ev = DetectionEvaluator(num_classes=2)
+        gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+        ev.add_image(gt[:1], [1], [0.9], gt, [1, 1])
+        res = ev.evaluate()
+        assert abs(res["mAP"] - 0.5) < 1e-6
+
+    def test_false_positive_hurts_precision(self):
+        ev = DetectionEvaluator(num_classes=2)
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        preds = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        # FP scored higher than the TP
+        ev.add_image(preds, [1, 1], [0.5, 0.9], gt, [1])
+        res = ev.evaluate()
+        assert abs(res["mAP"] - 0.5) < 1e-6
+
+    def test_localization_threshold(self):
+        ev = DetectionEvaluator(num_classes=2, iou_thresholds=[0.5, 0.9])
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        pred = np.array([[0, 0, 10, 8.0]])  # IoU 0.8
+        ev.add_image(pred, [1], [0.9], gt, [1])
+        res = ev.evaluate()
+        assert abs(res["mAP"] - 0.5) < 1e-6  # passes @0.5, fails @0.9
+
+    def test_wrong_class_no_credit(self):
+        ev = DetectionEvaluator(num_classes=3)
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        ev.add_image(gt, [2], [0.9], gt, [1])
+        assert ev.evaluate()["mAP"] == 0.0
+
+    def test_duplicate_detection_counts_once(self):
+        ev = DetectionEvaluator(num_classes=2)
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        preds = np.tile(gt, (2, 1))
+        ev.add_image(preds, [1, 1], [0.9, 0.8], gt, [1])
+        res = ev.evaluate()
+        # 1 TP + 1 FP at lower score: AP = 1.0 (TP first)
+        assert res["mAP"] == 1.0
+
+
+class TestMetrics:
+    def test_step_timer(self):
+        t = metrics.StepTimer()
+        for _ in range(3):
+            with t:
+                pass
+        assert t.compile_time is not None
+        assert len(t.step_times) == 2
+
+    def test_logger(self, tmp_path):
+        path = str(tmp_path / "m.jsonl")
+        lg = metrics.MetricLogger(path)
+        lg.log(0, loss=1.5)
+        lg.log(1, loss=1.2)
+        assert lg.latest()["loss"] == 1.2
+        assert len(open(path).readlines()) == 2
+
+    def test_debug_checks_noop_when_off(self):
+        import jax.numpy as jnp
+
+        metrics.enable_debug_checks(False)
+        x = jnp.asarray([1.0, float("nan")])
+        out = metrics.check_finite(x, "x")
+        assert out is x

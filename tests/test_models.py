@@ -31,6 +31,23 @@ class TestFrozenBatchNorm:
         assert float(jnp.abs(y).max()) > 50.0
 
 
+class TestStage1Conv:
+    def test_space_to_depth_equivalence(self):
+        from objectdetection_tpu.models.backbone import Stage1Conv
+
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+        plain = Stage1Conv(space_to_depth=False, dtype=jnp.float32)
+        s2d = Stage1Conv(space_to_depth=True, dtype=jnp.float32)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        y0 = plain.apply(variables, x)
+        y1 = s2d.apply(variables, x)
+        assert y0.shape == y1.shape == (2, 16, 16, 64)
+        np.testing.assert_allclose(
+            np.asarray(y0), np.asarray(y1), atol=1e-4
+        )
+
+
 class TestUpsample:
     def test_nearest_2x(self):
         x = jnp.arange(4.0).reshape(1, 2, 2, 1)
