@@ -59,6 +59,40 @@ def cmd_demo(args):
     print("demo ok")
 
 
+def evaluate_on_shapes(variables, cfg, ds, image_ids, score_threshold=None):
+    """Run jitted inference on shapes images and report box mAP@0.5."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import detector
+    from objectdetection_tpu.evaluate import DetectionEvaluator
+
+    eval_cfg = cfg if score_threshold is None else cfg.replace(
+        detection_min_threshold=score_threshold
+    )
+    infer = detector.make_infer_fn(eval_cfg, with_masks=False)
+    ev = DetectionEvaluator(cfg.num_classes, iou_thresholds=[0.5])
+    h = cfg.image_shape[0]
+    for start in range(0, len(image_ids), 8):
+        ids = image_ids[start : start + 8]
+        batch = ds.load_batch(ids, cfg, with_masks=False)
+        windows = jnp.tile(
+            jnp.asarray([[0.0, 0.0, float(h), float(h)]]), (len(ids), 1)
+        )
+        det = infer(variables, jnp.asarray(batch.images), windows)
+        for bi, img_id in enumerate(ids):
+            valid = np.asarray(det.valid[bi])
+            gt_valid = batch.gt_class_ids[bi] > 0
+            ev.add_image(
+                np.asarray(det.boxes[bi])[valid],
+                np.asarray(det.class_ids[bi])[valid],
+                np.asarray(det.scores[bi])[valid],
+                batch.gt_boxes[bi][gt_valid],
+                batch.gt_class_ids[bi][gt_valid],
+            )
+    return ev.evaluate()
+
+
 def cmd_train(args):
     import jax
     import jax.numpy as jnp
@@ -70,6 +104,7 @@ def cmd_train(args):
 
     cfg = SHAPES_CONFIG.replace(post_nms_rois_training=args.post_nms)
     ds = ShapesDataset(args.dataset_size, 128, 128, seed=args.seed)
+    holdout = ShapesDataset(args.eval_images, 128, 128, seed=args.seed + 999)
     state = detector.create_train_state(cfg, jax.random.PRNGKey(args.seed))
     step_fn = detector.make_train_step(cfg, with_masks=args.masks)
     rng = np.random.RandomState(args.seed)
@@ -82,7 +117,18 @@ def cmd_train(args):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
         if step % args.log_every == 0 or step == args.steps - 1:
             vals = {k: round(float(v), 4) for k, v in metrics.items()}
-            print(f"step {step}: {vals}")
+            print(f"step {step}: {vals}", flush=True)
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            res = evaluate_on_shapes(
+                variables, cfg, holdout, list(range(args.eval_images)),
+                score_threshold=args.eval_score_threshold,
+            )
+            print(
+                f"step {step}: eval mAP@0.5 = {res['mAP']:.4f} "
+                f"per-class {res['per_class']}",
+                flush=True,
+            )
 
     if args.ckpt:
         checkpoint.save_checkpoint(args.ckpt, state)
@@ -175,6 +221,9 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=5)
     t.add_argument("--ckpt", default="")
+    t.add_argument("--eval-every", type=int, default=0)
+    t.add_argument("--eval-images", type=int, default=16)
+    t.add_argument("--eval-score-threshold", type=float, default=0.5)
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="detect objects in image files")

@@ -158,8 +158,65 @@ class ShapesDataset:
     # batching for the jitted train step
     # ------------------------------------------------------------------
 
-    def load_batch(self, image_ids, config: DetectorConfig, with_masks: bool = True):
-        """Assemble a fixed-shape, zero-padded training batch (numpy)."""
+    def load_batch(
+        self,
+        image_ids,
+        config: DetectorConfig,
+        with_masks: bool = True,
+        use_native: bool | None = None,
+    ):
+        """Assemble a fixed-shape, zero-padded training batch (numpy).
+
+        `use_native=None` auto-selects the C++ batch rasterizer
+        (`objectdetection_tpu.native`) when its .so builds; the Python/cv2
+        path is the fallback and the behavioral reference.
+        """
+        if use_native is None:
+            try:
+                from objectdetection_tpu.native import native_available
+
+                use_native = native_available()
+            except Exception:
+                use_native = False
+        if use_native:
+            return self._load_batch_native(image_ids, config, with_masks)
+        return self._load_batch_python(image_ids, config, with_masks)
+
+    def _load_batch_native(self, image_ids, config, with_masks):
+        from objectdetection_tpu.detector import TrainBatch
+        from objectdetection_tpu.native import rasterize_shapes_batch
+
+        b = len(image_ids)
+        h, w = config.image_shape[:2]
+        g = config.max_gt_objects
+        max_inst = max(
+            g, max(len(self.image_meta[i]["instances"]) for i in image_ids)
+        )
+        specs = np.zeros((b, max_inst, 7), np.int32)
+        bg = np.zeros((b, 3), np.int32)
+        for bi, img_id in enumerate(image_ids):
+            info = self.image_meta[img_id]
+            bg[bi] = info["bg_color"]
+            for j, (shape, color, (cy, cx, size)) in enumerate(
+                info["instances"][:max_inst]
+            ):
+                specs[bi, j] = [
+                    CLASS_NAMES.index(shape), cy, cx, size, *color
+                ]
+        images, masks, boxes, classes = rasterize_shapes_batch(
+            specs, bg, h, w, config.mean_pixel
+        )
+        active = np.zeros((b, config.num_classes), np.int32)
+        active[:, : self.num_classes] = 1
+        return TrainBatch(
+            images=images,
+            gt_boxes=boxes[:, :g],
+            gt_class_ids=classes[:, :g],
+            gt_masks=masks[:, :g] if with_masks else None,
+            active_class_ids=active,
+        )
+
+    def _load_batch_python(self, image_ids, config: DetectorConfig, with_masks: bool = True):
         from objectdetection_tpu.detector import TrainBatch
 
         b = len(image_ids)
