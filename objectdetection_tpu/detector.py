@@ -60,6 +60,7 @@ def forward_inference(
     windows: Array,
     config: DetectorConfig,
     with_masks: bool = True,
+    return_intermediates: bool = False,
 ) -> Detections:
     """Full inference pipeline on molded images.
 
@@ -69,11 +70,14 @@ def forward_inference(
       windows: [B, 4] pixel windows of real image content within the canvas.
       config: detector config (static).
       with_masks: also run the mask head on final detections.
+      return_intermediates: also return a dict of stage outputs — the jit-era
+        equivalent of the reference's DEBUG tensor dicts and stage pickles
+        (proposals_tf.py:202-214, inference_debug.py:248-297).
     """
     model = build_model(config)
     anchors = jnp.asarray(config_anchors(config))  # trace-time constant
 
-    feats, _, rpn_probs, rpn_deltas = model.apply(
+    feats, rpn_logits, rpn_probs, rpn_deltas = model.apply(
         variables, images, method=model.extract
     )
     proposals = proposal_layer(rpn_probs, rpn_deltas, anchors, config, training=False)
@@ -96,13 +100,26 @@ def forward_inference(
             mask_probs, cls[:, :, None, None, None], axis=-1
         )[..., 0]
 
-    return Detections(
+    result = Detections(
         boxes=det[..., :4],
         class_ids=det[..., 4].astype(jnp.int32),
         scores=det[..., 5],
         valid=det[..., 5] > 0,
         masks=masks,
     )
+    if return_intermediates:
+        intermediates = {
+            "pyramid": {f"p{i + 2}": f for i, f in enumerate(feats)},
+            "rpn_class_logits": rpn_logits,
+            "rpn_class_probs": rpn_probs,
+            "rpn_bbox": rpn_deltas,
+            "proposals": proposals,
+            "mrcnn_class_probs": cls_probs,
+            "mrcnn_bbox": bbox,
+            "detections": det,
+        }
+        return result, intermediates
+    return result
 
 
 def make_infer_fn(config: DetectorConfig, with_masks: bool = True):
