@@ -195,6 +195,27 @@ def cmd_infer(args):
         print(f"wrote {out}")
 
 
+def cmd_eval_coco(args):
+    import jax
+
+    from objectdetection_tpu import checkpoint, detector, parallel
+    from objectdetection_tpu.coco_eval import run_coco_eval
+    from objectdetection_tpu.config import COCO_CONFIG
+    from objectdetection_tpu.data.coco import CocoDataset
+
+    cfg = COCO_CONFIG
+    ds = CocoDataset(args.annotations, args.image_dir)
+    variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.weights:
+        variables = checkpoint.load_matterport_h5(args.weights, variables)
+    mesh = parallel.make_mesh() if args.data_parallel else None
+    results, ips = run_coco_eval(
+        ds, variables, cfg,
+        batch_size=args.batch, max_images=args.max_images, mesh=mesh,
+    )
+    print(f"final: mAP={results['mAP']:.4f} @ {ips:.1f} img/s")
+
+
 def cmd_bench(args):
     from bench import main as bench_main  # reuse the repo-root harness
 
@@ -231,6 +252,15 @@ def main(argv=None):
     i.add_argument("--weights", default="", help="matterport mask_rcnn_coco.h5")
     i.add_argument("--no-masks", action="store_true")
     i.set_defaults(fn=cmd_infer)
+
+    e = sub.add_parser("eval-coco", help="COCO mAP evaluation")
+    e.add_argument("annotations", help="instances_*.json")
+    e.add_argument("image_dir")
+    e.add_argument("--weights", default="")
+    e.add_argument("--batch", type=int, default=8)
+    e.add_argument("--max-images", type=int, default=0)
+    e.add_argument("--data-parallel", action="store_true")
+    e.set_defaults(fn=cmd_eval_coco)
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("rest", nargs=argparse.REMAINDER)

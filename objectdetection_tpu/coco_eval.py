@@ -1,0 +1,104 @@
+"""Batched COCO evaluation driver (BASELINE.json config 5).
+
+Runs the full jitted inference pipeline over a COCO-style dataset with
+data-parallel sharding across the device mesh, unmolds detections back to
+original-image pixel coordinates on device, and accumulates COCO-style mAP.
+
+This is the multi-device replacement for the reference's single-image
+`inference.py` driver; on a multi-host setup each host feeds its own batch
+shard (`jax.distributed` + the same `parallel.make_parallel_infer_fn`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from objectdetection_tpu import detector, parallel
+from objectdetection_tpu.config import DetectorConfig
+from objectdetection_tpu.data.coco import CocoDataset, eval_batch
+from objectdetection_tpu.evaluate import DetectionEvaluator, coco_iou_thresholds
+
+
+def run_coco_eval(
+    dataset: CocoDataset,
+    variables,
+    config: DetectorConfig,
+    batch_size: int = 8,
+    max_images: Optional[int] = None,
+    mesh=None,
+    iou_thresholds: Optional[Sequence[float]] = None,
+    verbose: bool = True,
+):
+    """Evaluate the detector on a COCO-style dataset.
+
+    Returns (results dict from DetectionEvaluator, images_per_sec).
+    """
+    image_ids = dataset.image_ids[:max_images] if max_images else dataset.image_ids
+    thresholds = list(iou_thresholds or coco_iou_thresholds())
+    ev = DetectionEvaluator(config.num_classes, iou_thresholds=thresholds)
+
+    if mesh is not None:
+        infer = parallel.make_parallel_infer_fn(config, mesh, with_masks=False)
+        sharding = parallel.batch_sharding(mesh)
+        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    else:
+        infer = detector.make_infer_fn(config, with_masks=False)
+        put = jnp.asarray
+
+    d = config.image_max_dim
+    n_done = 0
+    t_infer = 0.0
+    for start in range(0, len(image_ids), batch_size):
+        ids = image_ids[start : start + batch_size]
+        pad = batch_size - len(ids)
+        images, windows, shapes = eval_batch(dataset, ids, config)
+        if pad:
+            images = np.pad(images, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            windows = np.pad(windows, ((0, pad), (0, 0)), constant_values=1)
+            shapes = np.pad(shapes, ((0, pad), (0, 0)), constant_values=1)
+
+        t0 = time.time()
+        det = infer(variables, put(images), put(windows))
+        det_boxes = np.asarray(det.boxes)
+        t_infer += time.time() - t0
+
+        for bi, img_id in enumerate(ids):
+            # window-relative unmold to original pixel coordinates (host side
+            # mirror of data.preprocess.unmold_detections)
+            h0, w0 = shapes[bi]
+            wy1, wx1, wy2, wx2 = (
+                windows[bi] - np.array([0.0, 0.0, 1.0, 1.0])
+            ) / (d - 1)
+            shift = np.array([wy1, wx1, wy1, wx1])
+            scale = np.array([wy2 - wy1, wx2 - wx1, wy2 - wy1, wx2 - wx1])
+            valid = np.asarray(det.valid[bi])
+            boxes = (det_boxes[bi][valid] - shift) / scale
+            boxes = boxes * np.array([h0 - 1, w0 - 1, h0 - 1, w0 - 1]) + np.array(
+                [0, 0, 1, 1]
+            )
+            gt_boxes, gt_classes = dataset.annotations(img_id)
+            ev.add_image(
+                boxes,
+                np.asarray(det.class_ids[bi])[valid],
+                np.asarray(det.scores[bi])[valid],
+                gt_boxes,
+                gt_classes,
+            )
+        n_done += len(ids)
+        if verbose and (start // batch_size) % 10 == 0:
+            print(f"  evaluated {n_done}/{len(image_ids)}", flush=True)
+
+    results = ev.evaluate()
+    imgs_per_sec = n_done / max(t_infer, 1e-9)
+    if verbose:
+        print(
+            f"mAP={results['mAP']:.4f}"
+            + (f" AP50={results['AP50']:.4f}" if "AP50" in results else "")
+            + f"  ({imgs_per_sec:.1f} img/s inference)"
+        )
+    return results, imgs_per_sec
