@@ -102,7 +102,11 @@ def cmd_train(args):
     from objectdetection_tpu.config import SHAPES_CONFIG
     from objectdetection_tpu.data.shapes import ShapesDataset
 
-    cfg = SHAPES_CONFIG.replace(post_nms_rois_training=args.post_nms)
+    cfg = SHAPES_CONFIG.replace(
+        post_nms_rois_training=args.post_nms,
+        post_nms_rois_inference=min(SHAPES_CONFIG.post_nms_rois_inference, args.post_nms),
+        pre_nms_rois_count=min(SHAPES_CONFIG.pre_nms_rois_count, 8 * args.post_nms),
+    )
     ds = ShapesDataset(args.dataset_size, 128, 128, seed=args.seed)
     holdout = ShapesDataset(args.eval_images, 128, 128, seed=args.seed + 999)
     state = detector.create_train_state(cfg, jax.random.PRNGKey(args.seed))

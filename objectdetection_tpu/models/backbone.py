@@ -34,11 +34,12 @@ class FrozenBatchNorm(nn.Module):
 
     epsilon: float = 1e-3
     dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -88,7 +89,13 @@ class BottleneckBlock(nn.Module):
         y = conv(f2, 3, 1, cn + "2b")(y)
         y = nn.relu(bn(bnn + "2b")(y))
         y = conv(f3, 1, 1, cn + "2c")(y)
-        y = bn(bnn + "2c")(y)
+        # zero-gamma init on the residual's last BN: blocks start as identity,
+        # keeping from-scratch activations bounded (loaded checkpoints
+        # overwrite the scale). Standard ResNet trainability practice.
+        y = FrozenBatchNorm(
+            name=bnn + "2c", dtype=self.dtype,
+            scale_init=nn.initializers.zeros,
+        )(y)
         return nn.relu(y + shortcut)
 
 

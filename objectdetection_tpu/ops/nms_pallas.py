@@ -2,14 +2,19 @@
 
 The XLA implementation in `ops/nms.py` runs the suppression tile loop as ~12
 fori_loop iterations whose [N, T] IoU blocks round-trip through HBM. This
-kernel runs the ENTIRE suppression pass in one `pallas_call`: the sorted box
-table (≤6K boxes ≈ 100 KB) lives in VMEM for the whole loop, each tile's IoU
-block is computed and consumed in-register, and only the final surviving box
-table is written back — one HBM read + one write total.
+kernel runs the ENTIRE suppression pass in one `pallas_call`: the box table
+(≤6K boxes ≈ 100 KB) and the alive mask stay in VMEM for the whole loop, each
+tile's IoU block is computed and consumed in-register, and only the final
+surviving box table is written back.
 
-Same greedy semantics as `ops.nms` (which remains the reference/fallback):
-boxes pre-sorted by score descending, suppressed boxes zeroed, optional
-class-aware suppression.
+Mosaic-lowering constraints honored: everything is 2D, slicing happens only
+on refs (`pl.ds`), and there are NO transposes — the boxes are passed in both
+[N, 4] and [4, N] layouts (host-side prep), and column↔row mask reorientation
+uses a diagonal-broadcast reduce (`_col_to_row`).
+
+Same greedy semantics as `ops.nms` (the reference/fallback): boxes pre-sorted
+by score descending, suppressed boxes zeroed, optional class-aware
+suppression.
 """
 
 from __future__ import annotations
@@ -24,74 +29,94 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _iou_block(a: Array, b: Array) -> Array:
-    """[N, 4] × [T, 4] → [N, T] IoU (zero boxes → IoU 0)."""
+def _iou_rows(a: Array, by1, bx1, by2, bx2) -> Array:
+    """a: [M, 4]; b given as four [1, K] row vectors → IoU [M, K]."""
     ay1, ax1, ay2, ax2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
-    by1, bx1, by2, bx2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    inter_y = jnp.maximum(
-        jnp.minimum(ay2, by2[None, :]) - jnp.maximum(ay1, by1[None, :]), 0.0
-    )
-    inter_x = jnp.maximum(
-        jnp.minimum(ax2, bx2[None, :]) - jnp.maximum(ax1, bx1[None, :]), 0.0
-    )
+    inter_y = jnp.maximum(jnp.minimum(ay2, by2) - jnp.maximum(ay1, by1), 0.0)
+    inter_x = jnp.maximum(jnp.minimum(ax2, bx2) - jnp.maximum(ax1, bx1), 0.0)
     inter = inter_y * inter_x
-    area_a = (ay2 - ay1) * (ax2 - ax1)
-    area_b = (by2 - by1) * (bx2 - bx1)
-    union = area_a + area_b[None, :] - inter
+    area_a = (ay2 - ay1) * (ax2 - ax1)  # [M, 1]
+    area_b = (by2 - by1) * (bx2 - bx1)  # [1, K]
+    union = area_a + area_b - inter
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _nms_kernel(boxes_ref, class_ref, out_ref, *, tile_size, iou_threshold):
-    """boxes_ref: [N, 4] score-sorted (invalid already zeroed);
-    class_ref: [N, 1] int32; out_ref: [N, 4] surviving boxes (zeros = dead)."""
+def _col_to_row(x_col: Array) -> Array:
+    """[T, 1] bool → [1, T] without a transpose (diagonal broadcast+reduce)."""
+    t = x_col.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    return jnp.any(x_col & (r == c), axis=0, keepdims=True)
+
+
+def _nms_kernel(
+    boxes_ref,  # [N, 4] f32, score-sorted, invalid rows zeroed
+    boxes_t_ref,  # [4, N] f32, same data transposed (host-side)
+    cls_col_ref,  # [N, 1] i32
+    cls_row_ref,  # [1, N] i32
+    out_ref,  # [N, 4] f32 survivors (zeros = dead)
+    alive_ref,  # scratch [1, N] i32
+    *,
+    tile_size: int,
+    iou_threshold: float,
+):
     n = boxes_ref.shape[0]
     t = tile_size
     num_tiles = n // t
 
-    out_ref[:] = boxes_ref[:]
-    cls = class_ref[:, 0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    alive_ref[:] = jnp.ones((1, n), jnp.int32)
+    cols_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
-    def tile_body(i, _):
+    all_y1 = boxes_t_ref[0:1, :]
+    all_x1 = boxes_t_ref[1:2, :]
+    all_y2 = boxes_t_ref[2:3, :]
+    all_x2 = boxes_t_ref[3:4, :]
+
+    def tile_body(i, carry):
         start = i * t
-        tile = out_ref[pl.ds(start, t), :]
-        tile_cls = jax.lax.dynamic_slice(cls, (start,), (t,))
+        tile = boxes_ref[pl.ds(start, t), :]  # [T, 4]
+        tcls_col = cls_col_ref[pl.ds(start, t), :]  # [T, 1]
+        tcls_row = cls_row_ref[:, pl.ds(start, t)]  # [1, T]
 
-        # suppression by all earlier surviving boxes (zeroed rows → IoU 0)
-        iou = _iou_block(out_ref[:], tile)  # [N, T]
-        earlier = (rows < start)[:, None]
-        same = cls[:, None] == tile_cls[None, :]
-        killed = jnp.any((iou > iou_threshold) & earlier & same, axis=0)
-        tile = jnp.where(killed[:, None], 0.0, tile)
+        # cross-tile: killed by any alive same-class box in earlier tiles
+        iou_tn = _iou_rows(tile, all_y1, all_x1, all_y2, all_x2)  # [T, N]
+        suppressor = (alive_ref[0:1, :] > 0) & (cols_n < start)  # [1, N]
+        same = tcls_col == cls_row_ref[:]  # [T, N]
+        cross_ok = ~jnp.any(
+            (iou_tn > iou_threshold) & same & suppressor, axis=1, keepdims=True
+        )  # [T, 1]
 
-        # within-tile greedy fixpoint
-        tin = _iou_block(tile, tile)
+        # within-tile greedy fixpoint (earlier row j kills later row i)
+        ty1 = boxes_t_ref[0:1, pl.ds(start, t)]
+        tx1 = boxes_t_ref[1:2, pl.ds(start, t)]
+        ty2 = boxes_t_ref[2:3, pl.ds(start, t)]
+        tx2 = boxes_t_ref[3:4, pl.ds(start, t)]
+        tin = _iou_rows(tile, ty1, tx1, ty2, tx2)  # [T, T]
         r = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
         sup = (
-            (tin > iou_threshold)
-            & (r < c)
-            & (tile_cls[:, None] == tile_cls[None, :])
-        )
+            (tin > iou_threshold) & (c < r) & (tcls_col == tcls_row)
+        )  # sup[i, j]: j kills i
 
         def cond(state):
-            alive, prev, it = state
-            return (it < t) & jnp.any(alive != prev)
+            alive_col, prev, it = state
+            return (it < t) & jnp.any(alive_col != prev)
 
         def body(state):
-            alive, _, it = state
-            dead = jnp.any(sup & alive[:, None], axis=0)
-            return (~dead, alive, it + 1)
+            alive_col, _, it = state
+            alive_row = _col_to_row(alive_col)  # [1, T]
+            killed = jnp.any(sup & alive_row, axis=1, keepdims=True)
+            return (cross_ok & ~killed, alive_col, it + 1)
 
-        alive0 = jnp.ones((t,), bool)
-        alive1 = ~jnp.any(sup, axis=0)
-        alive, _, _ = jax.lax.while_loop(cond, body, (alive1, alive0, jnp.int32(1)))
-        tile = jnp.where(alive[:, None], tile, 0.0)
+        a0 = cross_ok
+        a1, _, _ = body((a0, a0, jnp.int32(0)))
+        alive_col, _, _ = jax.lax.while_loop(cond, body, (a1, a0, jnp.int32(1)))
 
-        out_ref[pl.ds(start, t), :] = tile
-        return 0
+        out_ref[pl.ds(start, t), :] = jnp.where(alive_col, tile, 0.0)
+        alive_ref[0:1, pl.ds(start, t)] = _col_to_row(alive_col).astype(jnp.int32)
+        return carry
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
+    jax.lax.fori_loop(0, num_tiles, tile_body, jnp.int32(0))
 
 
 def nms_suppress_pallas(
@@ -112,13 +137,18 @@ def nms_suppress_pallas(
     kernel = functools.partial(
         _nms_kernel, tile_size=tile_size, iou_threshold=iou_threshold
     )
+    boxes = sorted_boxes.astype(jnp.float32)
+    cls = class_ids.astype(jnp.int32)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.int32)],
         interpret=interpret,
-    )(sorted_boxes.astype(jnp.float32), class_ids.astype(jnp.int32)[:, None])
+    )(boxes, boxes.T, cls[:, None], cls[None, :])
