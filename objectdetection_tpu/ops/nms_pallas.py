@@ -98,22 +98,27 @@ def _nms_kernel(
             (tin > iou_threshold) & (c < r) & (tcls_col == tcls_row)
         )  # sup[i, j]: j kills i
 
+        # while-loop carries are int32 masks — i1 vector carries fail to
+        # legalize in Mosaic's scf.yield lowering.
         def cond(state):
             alive_col, prev, it = state
             return (it < t) & jnp.any(alive_col != prev)
 
         def body(state):
             alive_col, _, it = state
-            alive_row = _col_to_row(alive_col)  # [1, T]
+            alive_row = _col_to_row(alive_col > 0)  # [1, T] bool
             killed = jnp.any(sup & alive_row, axis=1, keepdims=True)
-            return (cross_ok & ~killed, alive_col, it + 1)
+            new_alive = (cross_ok & ~killed).astype(jnp.int32)
+            return (new_alive, alive_col, it + 1)
 
-        a0 = cross_ok
+        a0 = cross_ok.astype(jnp.int32)
         a1, _, _ = body((a0, a0, jnp.int32(0)))
         alive_col, _, _ = jax.lax.while_loop(cond, body, (a1, a0, jnp.int32(1)))
 
-        out_ref[pl.ds(start, t), :] = jnp.where(alive_col, tile, 0.0)
-        alive_ref[0:1, pl.ds(start, t)] = _col_to_row(alive_col).astype(jnp.int32)
+        out_ref[pl.ds(start, t), :] = jnp.where(alive_col > 0, tile, 0.0)
+        alive_ref[0:1, pl.ds(start, t)] = _col_to_row(alive_col > 0).astype(
+            jnp.int32
+        )
         return carry
 
     jax.lax.fori_loop(0, num_tiles, tile_body, jnp.int32(0))
