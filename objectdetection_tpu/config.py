@@ -79,6 +79,8 @@ class DetectorConfig:
     compute_dtype: str = "bfloat16"  # backbone/head conv compute dtype
     # MXU-friendly space-to-depth rewrite of the ResNet stem (identical math)
     conv1_space_to_depth: bool = True
+    # rematerialize backbone blocks in backward (memory for FLOPs, training)
+    remat_backbone: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

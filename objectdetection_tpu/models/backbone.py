@@ -169,6 +169,7 @@ class ResNetBottomUp(nn.Module):
     model: str = "resnet101"
     dtype: Any = jnp.float32
     conv1_space_to_depth: bool = True
+    remat: bool = False  # rematerialize blocks in the backward pass
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -189,15 +190,19 @@ class ResNetBottomUp(nn.Module):
         x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=dt)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
+        # jax.checkpoint per block trades FLOPs for activation memory when
+        # training at 1024² (SURVEY.md: remat is the TPU-native lever here)
+        block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
+
         def stage(x, stage_idx, filters, first_stride, num_blocks):
-            x = BottleneckBlock(
+            x = block_cls(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
                 name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
-                x = BottleneckBlock(
+                x = block_cls(
                     filters, stage=stage_idx, block=blk, dtype=dt,
                     name=f"res{stage_idx}{blk}",
                 )(x)
@@ -228,13 +233,15 @@ class ResNetFPN(nn.Module):
     channels: int = 256
     dtype: Any = jnp.float32
     conv1_space_to_depth: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
         dt = self.dtype
         c2, c3, c4, c5 = ResNetBottomUp(
             model=self.model, dtype=dt,
-            conv1_space_to_depth=self.conv1_space_to_depth, name="resnet",
+            conv1_space_to_depth=self.conv1_space_to_depth,
+            remat=self.remat, name="resnet",
         )(images)
 
         lat = lambda name: nn.Conv(

@@ -30,7 +30,8 @@ class MaskRCNN(nn.Module):
         dt = jnp.dtype(cfg.compute_dtype)
         self.backbone = ResNetFPN(
             model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt,
-            conv1_space_to_depth=cfg.conv1_space_to_depth, name="fpn",
+            conv1_space_to_depth=cfg.conv1_space_to_depth,
+            remat=cfg.remat_backbone, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

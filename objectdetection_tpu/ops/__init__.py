@@ -7,8 +7,13 @@ static shapes, validity masks, tiled vector math — with XLA reference
 implementations and Pallas fast paths behind the same signatures.
 """
 
-from objectdetection_tpu.ops.nms import non_max_suppression, nms_boxes  # noqa: F401
+from objectdetection_tpu.ops.nms import (  # noqa: F401
+    nms_boxes,
+    non_max_suppression,
+    set_nms_backend,
+)
 from objectdetection_tpu.ops.roi_align import (  # noqa: F401
+    batched_multilevel_roi_align,
     crop_and_resize,
     multilevel_roi_align,
 )

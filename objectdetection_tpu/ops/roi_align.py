@@ -260,29 +260,32 @@ def batched_multilevel_roi_align(
     y0i, y1i, wy = _bilinear_weights_1d(ys, lh[..., None])
     x0i, x1i, wx = _bilinear_weights_1d(xs, lw[..., None])
 
-    def flat_idx(yi, xi):  # [B, R, ph] × [B, R, pw] → [B, R, ph, pw]
+    n = b * r * ph * pw
+
+    def flat_idx(yi, xi):  # [B, R, ph] × [B, R, pw] → [N]
         return (
             row0[..., None, None]
             + yi[..., :, None] * lw[..., None, None]
             + xi[..., None, :]
+        ).reshape(-1)
+
+    # Four row gathers combined as a flat-[N, C] FMA. Measured fastest on
+    # v5e among: [B,R,ph,pw,4,C] stacked-corner reduce, one concatenated
+    # [4N] gather, and lax.gather with 2-row slice_sizes (catastrophically
+    # slow). The flat layout matters: a 7-wide second-to-minor dim tiles
+    # poorly on the VPU.
+    dtype = flat.dtype
+
+    def wprod(a, b_):  # [B, R, ph] × [B, R, pw] → [N, 1]
+        return (
+            (a[..., :, None] * b_[..., None, :]).reshape(n, 1).astype(dtype)
         )
 
-    # one gather per corner, combined as a fused 4-term FMA (no [..., 4, C]
-    # axis — a 4-wide sublane dim tiles poorly)
-    wy0 = (1 - wy)[..., :, None, None]
-    wy1 = wy[..., :, None, None]
-    wx0 = (1 - wx)[..., None, :, None]
-    wx1 = wx[..., None, :, None]
-
-    def take(yi, xi):
-        idx = flat_idx(yi, xi)
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(b, r, ph, pw, c)
-
-    dtype = flat.dtype
+    g = lambda yi, xi: jnp.take(flat, flat_idx(yi, xi), axis=0)  # [N, C]
     out = (
-        take(y0i, x0i) * (wy0 * wx0).astype(dtype)
-        + take(y0i, x1i) * (wy0 * wx1).astype(dtype)
-        + take(y1i, x0i) * (wy1 * wx0).astype(dtype)
-        + take(y1i, x1i) * (wy1 * wx1).astype(dtype)
+        g(y0i, x0i) * wprod(1 - wy, 1 - wx)
+        + g(y0i, x1i) * wprod(1 - wy, wx)
+        + g(y1i, x0i) * wprod(wy, 1 - wx)
+        + g(y1i, x1i) * wprod(wy, wx)
     )
-    return out
+    return out.reshape(b, r, ph, pw, c)

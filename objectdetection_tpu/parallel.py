@@ -30,6 +30,26 @@ from objectdetection_tpu import detector as detector_lib
 from objectdetection_tpu.config import DetectorConfig
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (one process per host feeding its shard).
+
+    Thin wrapper over `jax.distributed.initialize` — on TPU pods the
+    arguments are auto-detected from the environment; pass them explicitly
+    elsewhere. After this, `jax.devices()` is global and the same
+    `make_mesh()` / `shard_batch()` code runs unchanged across hosts with
+    collectives on ICI within a slice and DCN across slices.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:

@@ -22,6 +22,36 @@ def random_colors(n: int, seed: int = 0, bright: bool = True):
     return colors
 
 
+def draw_anchor_assignment(
+    image: np.ndarray,
+    anchors: np.ndarray,
+    target_class: np.ndarray,
+    gt_boxes: Optional[np.ndarray] = None,
+    max_negative: int = 50,
+) -> np.ndarray:
+    """Render RPN target assignment: GT (white), positive anchors (green),
+    a sample of negatives (red). ≙ the reference's viz-iou-dummy notebook.
+
+    anchors: [A, 4] pixel coords; target_class: [A] in {-1, 0, 1}.
+    """
+    import cv2
+
+    out = image.astype(np.uint8).copy()
+
+    def draw(boxes, color, thickness=1):
+        for y1, x1, y2, x2 in np.asarray(boxes, np.int32):
+            cv2.rectangle(out, (x1, y1), (x2, y2), color, thickness)
+
+    neg = anchors[target_class == -1]
+    if len(neg) > max_negative:
+        neg = neg[:: max(len(neg) // max_negative, 1)][:max_negative]
+    draw(neg, (220, 60, 60))
+    draw(anchors[target_class == 1], (40, 220, 40))
+    if gt_boxes is not None:
+        draw(gt_boxes, (255, 255, 255), 2)
+    return out
+
+
 def draw_detections(
     image: np.ndarray,
     boxes: np.ndarray,
