@@ -95,7 +95,9 @@ class ShapesDataset:
         h, w = self.height, self.width
         bg_color = rng.integers(0, 256, 3).tolist()
         num_objects = int(rng.integers(1, self.max_instances + 1))
-        buffer = 20
+        # reference uses a 20px margin at 128² (shapes.py:117); scale down for
+        # smaller canvases so the sampling ranges stay valid
+        buffer = min(20, max(4, h // 8))
         instances = []
         boxes = []
         for _ in range(num_objects):

@@ -213,6 +213,7 @@ def nms_boxes(
     iou_threshold: float,
     valid: Optional[Array] = None,
     tile_size: int = 512,
+    backend: Optional[str] = None,
 ) -> Array:
     """NMS returning the kept boxes zero-padded to [max_output, 4].
 
@@ -220,7 +221,8 @@ def nms_boxes(
     (`proposals_tf.py:218-247`): gather kept boxes, pad with [0, 0, 0, 0].
     """
     res = non_max_suppression(
-        boxes, scores, max_output, iou_threshold, valid=valid, tile_size=tile_size
+        boxes, scores, max_output, iou_threshold, valid=valid,
+        tile_size=tile_size, backend=backend,
     )
     gathered = jnp.take(boxes, jnp.maximum(res.indices, 0), axis=0)
     return jnp.where(res.valid[:, None], gathered, 0.0)

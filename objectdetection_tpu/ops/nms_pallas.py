@@ -134,9 +134,40 @@ def nms_suppress_pallas(
     """Run greedy suppression over score-sorted boxes; returns the box table
     with suppressed rows zeroed. sorted_boxes [N, 4] f32, class_ids [N] int32.
     N must be a multiple of tile_size (pad with zero boxes / class -1).
+
+    Non-differentiable by construction (zero tangent): greedy NMS selection
+    is piecewise constant, and pallas_call has no JVP rule — this keeps the
+    kernel usable under `jax.grad` (the detector stops gradients at
+    proposals anyway, matching the reference's stop_gradient at ROI boxes).
     """
     if interpret is None:  # compiled on TPU, interpreted elsewhere (CI)
         interpret = jax.default_backend() != "tpu"
+    return _nms_suppress_nd(
+        sorted_boxes, class_ids, float(iou_threshold), int(tile_size),
+        bool(interpret),
+    )
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def _nms_suppress_nd(sorted_boxes, class_ids, iou_threshold, tile_size, interpret):
+    return _nms_suppress_impl(
+        sorted_boxes, class_ids, iou_threshold, tile_size, interpret
+    )
+
+
+@_nms_suppress_nd.defjvp
+def _nms_suppress_jvp(iou_threshold, tile_size, interpret, primals, tangents):
+    out = _nms_suppress_nd(*primals, iou_threshold, tile_size, interpret)
+    return out, jnp.zeros_like(out)
+
+
+def _nms_suppress_impl(
+    sorted_boxes: Array,
+    class_ids: Array,
+    iou_threshold: float,
+    tile_size: int,
+    interpret: bool,
+) -> Array:
     n = sorted_boxes.shape[0]
     assert n % tile_size == 0, (n, tile_size)
     kernel = functools.partial(
