@@ -33,6 +33,10 @@ class DetectorConfig:
     image_resize_mode: str = "square"
     image_min_scale: float = 0.0
     mean_pixel: Tuple[float, float, float] = (123.7, 116.8, 103.9)
+    # multiplier applied to mean-subtracted inputs inside the model; the
+    # reference feeds raw mean-subtracted pixels (±130) which explodes
+    # from-scratch head outputs — pretrained-parity configs keep 1.0
+    input_scale: float = 1.0
 
     # --- backbone (config.py:20-24) ---
     backbone: str = "resnet101"
@@ -131,6 +135,7 @@ SHAPES_CONFIG = DetectorConfig(
     image_min_dim=128,
     image_max_dim=128,
     backbone="resnet50",
+    input_scale=1.0 / 64.0,  # trains from scratch (no pretrained backbone)
     rpn_anchor_scales=(8, 16, 32, 64, 128),
     train_rois_per_image=32,
     post_nms_rois_training=2000,

@@ -72,16 +72,16 @@ def rpn_targets(
     budget = config.rpn_train_anchors_per_image
     half = budget // 2
 
-    iou = iou_matrix(anchors, gt_boxes)  # [A, G]
-    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    from objectdetection_tpu.ops.anchor_match import anchor_match
 
-    anchor_max = jnp.max(iou, axis=1)
-    anchor_argmax = jnp.argmax(iou, axis=1)
+    match = anchor_match(anchors, gt_boxes, gt_valid)
+    anchor_max = match.anchor_max
+    anchor_argmax = match.anchor_argmax
 
     target = jnp.zeros((a,), jnp.int32)
     target = jnp.where(anchor_max < 0.3, -1, target)
     # best anchor per valid GT is positive even below 0.7 (COND 2)
-    gt_best_anchor = jnp.argmax(iou, axis=0)  # [G]
+    gt_best_anchor = match.gt_argmax  # [G]
     force_pos = (
         jnp.zeros((a,), bool)
         .at[gt_best_anchor]

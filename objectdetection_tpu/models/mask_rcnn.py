@@ -48,6 +48,8 @@ class MaskRCNN(nn.Module):
 
     def extract(self, images: Array):
         """images [B, H, W, 3] → (pyramid P2..P6, rpn logits/probs/deltas)."""
+        if self.config.input_scale != 1.0:
+            images = images * self.config.input_scale
         feats = self.backbone(images)
         logits, probs, deltas = self.rpn(feats)
         return feats, logits, probs, deltas
