@@ -231,12 +231,44 @@ def compute_losses(
     return out
 
 
-def make_optimizer(config: DetectorConfig) -> optax.GradientTransformation:
-    """SGD + momentum + weight decay + clip — the step the reference never had."""
-    return optax.chain(
+def make_optimizer(
+    config: DetectorConfig, train_layers: str = "all"
+) -> optax.GradientTransformation:
+    """SGD + momentum + weight decay + clip — the step the reference never had.
+
+    `train_layers='heads'` freezes everything except the FPN laterals, RPN
+    and ROI heads (≙ the reference's `train_nets='heads'` fine-tuning mode,
+    load_params.py:85-86, via an optax mask instead of a skip-list).
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(config.gradient_clip_norm),
         optax.add_decayed_weights(config.weight_decay),
         optax.sgd(config.learning_rate, momentum=config.learning_rate_momentum),
+    )
+    if train_layers == "all":
+        return tx
+
+    assert train_layers == "heads", train_layers
+    from objectdetection_tpu.checkpoint import HEADS_LAYERS
+
+    head_names = set(HEADS_LAYERS) | {
+        "mrcnn_mask_conv1", "mrcnn_mask_bn1", "mrcnn_mask_conv2",
+        "mrcnn_mask_bn2", "mrcnn_mask_conv3", "mrcnn_mask_bn3",
+        "mrcnn_mask_conv4", "mrcnn_mask_bn4", "mrcnn_mask_deconv",
+        "mrcnn_mask",
+    }
+
+    def label_tree(params):
+        def label(path):
+            in_heads = any(getattr(p, "key", None) in head_names for p in path)
+            return "train" if in_heads else "freeze"
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree_util.tree_structure(params)
+        return jax.tree_util.tree_unflatten(treedef, [label(p) for p, _ in flat])
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_tree
     )
 
 
@@ -247,11 +279,14 @@ class TrainState(NamedTuple):
     step: Array
 
 
-def create_train_state(config: DetectorConfig, rng: Array, batch_size: int = 1):
+def create_train_state(
+    config: DetectorConfig, rng: Array, batch_size: int = 1,
+    train_layers: str = "all",
+):
     variables = init_variables(config, rng, batch_size)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(config)
+    tx = make_optimizer(config, train_layers)
     return TrainState(
         params=params,
         batch_stats=batch_stats,
@@ -266,9 +301,10 @@ def train_step(
     rng: Array,
     config: DetectorConfig,
     with_masks: bool = False,
+    train_layers: str = "all",
 ) -> Tuple[TrainState, Dict[str, Array]]:
     """One SGD step (jit/shard_map-able; pure function of its inputs)."""
-    tx = make_optimizer(config)
+    tx = make_optimizer(config, train_layers)
 
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
@@ -289,11 +325,13 @@ def train_step(
     return new_state, metrics
 
 
-def make_train_step(config: DetectorConfig, with_masks: bool = False):
+def make_train_step(
+    config: DetectorConfig, with_masks: bool = False, train_layers: str = "all"
+):
     """Returns a jitted, donated `(state, batch, rng) -> (state, metrics)`."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, batch, rng):
-        return train_step(state, batch, rng, config, with_masks)
+        return train_step(state, batch, rng, config, with_masks, train_layers)
 
     return step
