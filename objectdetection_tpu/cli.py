@@ -109,8 +109,23 @@ def cmd_train(args):
     )
     ds = ShapesDataset(args.dataset_size, 128, 128, seed=args.seed)
     holdout = ShapesDataset(args.eval_images, 128, 128, seed=args.seed + 999)
-    state = detector.create_train_state(cfg, jax.random.PRNGKey(args.seed))
-    step_fn = detector.make_train_step(cfg, with_masks=args.masks)
+    state = detector.create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), train_layers=args.train_layers
+    )
+    if args.weights:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = checkpoint.load_matterport_h5(
+            args.weights, variables,
+            skip_layers=checkpoint.HEADS_LAYERS
+            if args.train_layers == "heads"
+            else None,
+        )
+        state = state._replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    step_fn = detector.make_train_step(
+        cfg, with_masks=args.masks, train_layers=args.train_layers
+    )
     rng = np.random.RandomState(args.seed)
 
     for step in range(args.steps):
@@ -249,6 +264,11 @@ def main(argv=None):
     t.add_argument("--eval-every", type=int, default=0)
     t.add_argument("--eval-images", type=int, default=16)
     t.add_argument("--eval-score-threshold", type=float, default=0.5)
+    t.add_argument(
+        "--train-layers", choices=["all", "heads"], default="all",
+        help="'heads' freezes the backbone (reference train_nets='heads')",
+    )
+    t.add_argument("--weights", default="", help="matterport h5 to start from")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="detect objects in image files")

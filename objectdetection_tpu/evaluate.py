@@ -37,12 +37,33 @@ def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
 
 
-class DetectionEvaluator:
-    """Accumulates per-image predictions/GT; computes per-class AP and mAP."""
+def _mask_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of boolean instance masks: [N, H, W] × [M, H, W] → [N, M]."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    af = a.reshape(len(a), -1).astype(np.float32)
+    bf = b.reshape(len(b), -1).astype(np.float32)
+    inter = af @ bf.T
+    union = af.sum(1)[:, None] + bf.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / union, 0.0)
 
-    def __init__(self, num_classes: int, iou_thresholds: Sequence[float] = (0.5,)):
+
+class DetectionEvaluator:
+    """Accumulates per-image predictions/GT; computes per-class AP and mAP.
+
+    Matching uses box IoU by default; pass instance masks to `add_image` and
+    set `use_masks=True` to score mask mAP (segm metric) instead.
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        iou_thresholds: Sequence[float] = (0.5,),
+        use_masks: bool = False,
+    ):
         self.num_classes = num_classes
         self.iou_thresholds = list(iou_thresholds)
+        self.use_masks = use_masks
         self._images: List[dict] = []
 
     def add_image(
@@ -52,17 +73,23 @@ class DetectionEvaluator:
         pred_scores: np.ndarray,
         gt_boxes: np.ndarray,
         gt_classes: np.ndarray,
+        pred_masks: np.ndarray = None,
+        gt_masks: np.ndarray = None,
     ) -> None:
-        """Boxes are [N, 4] (y1, x1, y2, x2) in any consistent frame."""
-        self._images.append(
-            dict(
-                pb=np.asarray(pred_boxes, np.float32).reshape(-1, 4),
-                pc=np.asarray(pred_classes, np.int32).reshape(-1),
-                ps=np.asarray(pred_scores, np.float32).reshape(-1),
-                gb=np.asarray(gt_boxes, np.float32).reshape(-1, 4),
-                gc=np.asarray(gt_classes, np.int32).reshape(-1),
-            )
+        """Boxes are [N, 4] (y1, x1, y2, x2) in any consistent frame; masks
+        (when scoring mask mAP) are [N, H, W] booleans in the image frame."""
+        row = dict(
+            pb=np.asarray(pred_boxes, np.float32).reshape(-1, 4),
+            pc=np.asarray(pred_classes, np.int32).reshape(-1),
+            ps=np.asarray(pred_scores, np.float32).reshape(-1),
+            gb=np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+            gc=np.asarray(gt_classes, np.int32).reshape(-1),
         )
+        if self.use_masks:
+            assert pred_masks is not None and gt_masks is not None
+            row["pm"] = np.asarray(pred_masks, bool)
+            row["gm"] = np.asarray(gt_masks, bool)
+        self._images.append(row)
 
     def _class_pr(self, cls: int, iou_thresh: float):
         scores, matches = [], []
@@ -75,7 +102,12 @@ class DetectionEvaluator:
             pb, ps = img["pb"][pm], img["ps"][pm]
             order = np.argsort(-ps)
             pb, ps = pb[order], ps[order]
-            iou = _iou_matrix(pb, gt)
+            if self.use_masks:
+                iou = _mask_iou_matrix(
+                    img["pm"][pm][order], img["gm"][gt_mask]
+                )
+            else:
+                iou = _iou_matrix(pb, gt)
             taken = np.zeros(len(gt), bool)
             for i in range(len(pb)):
                 scores.append(ps[i])

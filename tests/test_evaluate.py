@@ -66,6 +66,42 @@ class TestEvaluator:
         assert res["mAP"] == 1.0
 
 
+class TestMaskMAP:
+    def _mask(self, h, w, y1, x1, y2, x2):
+        m = np.zeros((h, w), bool)
+        m[y1:y2, x1:x2] = True
+        return m
+
+    def test_perfect_masks(self):
+        ev = DetectionEvaluator(num_classes=2, use_masks=True)
+        gt_boxes = np.array([[2, 2, 10, 10]], np.float32)
+        m = self._mask(16, 16, 2, 2, 10, 10)[None]
+        ev.add_image(gt_boxes, [1], [0.9], gt_boxes, [1],
+                     pred_masks=m, gt_masks=m)
+        assert ev.evaluate()["mAP"] == 1.0
+
+    def test_boxes_match_but_masks_dont(self):
+        # same box, disjoint masks → box AP would be 1, mask AP must be 0
+        ev = DetectionEvaluator(num_classes=2, use_masks=True)
+        gt_boxes = np.array([[0, 0, 16, 16]], np.float32)
+        pm = self._mask(16, 16, 0, 0, 16, 8)[None]
+        gm = self._mask(16, 16, 0, 8, 16, 16)[None]
+        ev.add_image(gt_boxes, [1], [0.9], gt_boxes, [1],
+                     pred_masks=pm, gt_masks=gm)
+        assert ev.evaluate()["mAP"] == 0.0
+
+    def test_partial_overlap_threshold(self):
+        ev = DetectionEvaluator(
+            num_classes=2, use_masks=True, iou_thresholds=[0.5, 0.9]
+        )
+        gt_boxes = np.array([[0, 0, 16, 16]], np.float32)
+        pm = self._mask(16, 16, 0, 0, 16, 12)[None]  # IoU 12/16 = 0.75
+        gm = self._mask(16, 16, 0, 0, 16, 16)[None]
+        ev.add_image(gt_boxes, [1], [0.9], gt_boxes, [1],
+                     pred_masks=pm, gt_masks=gm)
+        assert abs(ev.evaluate()["mAP"] - 0.5) < 1e-6
+
+
 class TestMetrics:
     def test_step_timer(self):
         t = metrics.StepTimer()
