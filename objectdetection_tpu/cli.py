@@ -235,6 +235,12 @@ def cmd_eval_coco(args):
     print(f"final: mAP={results['mAP']:.4f} @ {ips:.1f} img/s")
 
 
+def cmd_serve(args):
+    from objectdetection_tpu.serve import serve
+
+    serve(port=args.port, weights=args.weights or None, host=args.host)
+
+
 def cmd_bench(args):
     from bench import main as bench_main  # reuse the repo-root harness
 
@@ -285,6 +291,12 @@ def main(argv=None):
     e.add_argument("--max-images", type=int, default=0)
     e.add_argument("--data-parallel", action="store_true")
     e.set_defaults(fn=cmd_eval_coco)
+
+    s = sub.add_parser("serve", help="HTTP inference server")
+    s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--weights", default="")
+    s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("rest", nargs=argparse.REMAINDER)

@@ -120,6 +120,44 @@ def mold_image_device(
     return molded, window, scale
 
 
+def mold_batch_device(
+    images: Array,
+    orig_shapes: Array,
+    config: DetectorConfig,
+    image_ids: Optional[Array] = None,
+) -> Tuple[Array, ImageMeta]:
+    """Vmapped on-device molding of a batch of canvas-placed images.
+
+    Args:
+      images: [B, Hc, Wc, 3] static canvases (real content top-left).
+      orig_shapes: [B, 2] (h, w) per image.
+      config: detector config.
+      image_ids: optional [B] ids threaded into the meta.
+
+    Returns (molded [B, D, D, 3], ImageMeta) — the meta carries the windows
+    the detection layer and unmold step need.
+    """
+    b = images.shape[0]
+    molded, windows, scales = jax.vmap(
+        lambda im, sh: mold_image_device(im, sh, config)
+    )(images, orig_shapes)
+    d = config.image_max_dim
+    meta = ImageMeta(
+        image_id=(
+            image_ids if image_ids is not None else jnp.arange(b)
+        ).astype(jnp.int32),
+        original_shape=jnp.concatenate(
+            [orig_shapes.astype(jnp.int32), jnp.full((b, 1), 3, jnp.int32)],
+            axis=1,
+        ),
+        image_shape=jnp.tile(jnp.asarray([[d, d, 3]], jnp.int32), (b, 1)),
+        window=windows,
+        scale=scales,
+        active_class_ids=jnp.ones((b, config.num_classes), jnp.int32),
+    )
+    return molded, meta
+
+
 def mold_image_host(
     image: np.ndarray, config: DetectorConfig
 ) -> Tuple[np.ndarray, np.ndarray, float]:
