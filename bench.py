@@ -16,7 +16,7 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--backbone", default="resnet101")
