@@ -59,8 +59,10 @@ def cmd_demo(args):
     print("demo ok")
 
 
-def evaluate_on_shapes(variables, cfg, ds, image_ids, score_threshold=None):
-    """Run jitted inference on shapes images and report box mAP@0.5."""
+def evaluate_on_shapes(
+    variables, cfg, ds, image_ids, score_threshold=None, with_masks=False
+):
+    """Run jitted inference on shapes images; box mAP@0.5 (and mask mAP)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -70,12 +72,19 @@ def evaluate_on_shapes(variables, cfg, ds, image_ids, score_threshold=None):
     eval_cfg = cfg if score_threshold is None else cfg.replace(
         detection_min_threshold=score_threshold
     )
-    infer = detector.make_infer_fn(eval_cfg, with_masks=False)
+    infer = detector.make_infer_fn(eval_cfg, with_masks=with_masks)
     ev = DetectionEvaluator(cfg.num_classes, iou_thresholds=[0.5])
+    ev_mask = (
+        DetectionEvaluator(cfg.num_classes, iou_thresholds=[0.5], use_masks=True)
+        if with_masks
+        else None
+    )
     h = cfg.image_shape[0]
+    scale = np.array([h - 1, h - 1, h - 1, h - 1], np.float32)
+    shift = np.array([0, 0, 1, 1], np.float32)
     for start in range(0, len(image_ids), 8):
         ids = image_ids[start : start + 8]
-        batch = ds.load_batch(ids, cfg, with_masks=False)
+        batch = ds.load_batch(ids, cfg, with_masks=with_masks)
         windows = jnp.tile(
             jnp.asarray([[0.0, 0.0, float(h), float(h)]]), (len(ids), 1)
         )
@@ -90,7 +99,26 @@ def evaluate_on_shapes(variables, cfg, ds, image_ids, score_threshold=None):
                 batch.gt_boxes[bi][gt_valid],
                 batch.gt_class_ids[bi][gt_valid],
             )
-    return ev.evaluate()
+            if ev_mask is not None:
+                from objectdetection_tpu.data.masks import paste_detection_masks
+
+                pix_boxes = np.asarray(det.boxes[bi])[valid] * scale + shift
+                pred_masks = paste_detection_masks(
+                    np.asarray(det.masks[bi])[valid], pix_boxes, (h, h)
+                )
+                ev_mask.add_image(
+                    np.asarray(det.boxes[bi])[valid] * scale + shift,
+                    np.asarray(det.class_ids[bi])[valid],
+                    np.asarray(det.scores[bi])[valid],
+                    batch.gt_boxes[bi][gt_valid] * scale + shift,
+                    batch.gt_class_ids[bi][gt_valid],
+                    pred_masks=pred_masks,
+                    gt_masks=batch.gt_masks[bi][gt_valid] > 0.5,
+                )
+    out = ev.evaluate()
+    if ev_mask is not None:
+        out["mask_mAP"] = ev_mask.evaluate()["mAP"]
+    return out
 
 
 def cmd_train(args):
@@ -112,6 +140,9 @@ def cmd_train(args):
     state = detector.create_train_state(
         cfg, jax.random.PRNGKey(args.seed), train_layers=args.train_layers
     )
+    if args.resume:
+        state = checkpoint.load_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
     if args.weights:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         variables = checkpoint.load_matterport_h5(
@@ -142,9 +173,13 @@ def cmd_train(args):
             res = evaluate_on_shapes(
                 variables, cfg, holdout, list(range(args.eval_images)),
                 score_threshold=args.eval_score_threshold,
+                with_masks=args.eval_masks,
+            )
+            mask_part = (
+                f" mask mAP@0.5 = {res['mask_mAP']:.4f}" if "mask_mAP" in res else ""
             )
             print(
-                f"step {step}: eval mAP@0.5 = {res['mAP']:.4f} "
+                f"step {step}: eval mAP@0.5 = {res['mAP']:.4f}{mask_part} "
                 f"per-class {res['per_class']}",
                 flush=True,
             )
@@ -275,6 +310,8 @@ def main(argv=None):
         help="'heads' freezes the backbone (reference train_nets='heads')",
     )
     t.add_argument("--weights", default="", help="matterport h5 to start from")
+    t.add_argument("--resume", default="", help="orbax checkpoint to resume")
+    t.add_argument("--eval-masks", action="store_true", help="also report mask mAP")
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="detect objects in image files")
