@@ -16,7 +16,7 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--backbone", default="resnet101")
@@ -39,6 +39,10 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+    # cast weights to the compute dtype once (saves ~260MB fp32 re-reads/call)
+    from objectdetection_tpu.checkpoint import cast_params_for_inference
+
+    variables = cast_params_for_inference(variables)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(

@@ -50,6 +50,26 @@ def load_checkpoint(path: str, like: Any) -> Any:
     return ckptr.restore(path, like)
 
 
+def cast_params_for_inference(variables, dtype=None):
+    """Cast floating-point params to the compute dtype once.
+
+    Inference-only optimization: flax modules cast fp32 params to bf16 on
+    every call, which re-reads the full fp32 tree from HBM each batch
+    (~260 MB for R101). Pre-cast weights halve that traffic. Don't train on
+    the result (optimizer state should stay fp32).
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, variables)
+
+
 # ---------------------------------------------------------------------------
 # matterport h5 → flax variables
 # ---------------------------------------------------------------------------
