@@ -20,3 +20,22 @@ Sardhendu/ObjectDetection (TF1-era Faster R-CNN / Mask R-CNN):
 __version__ = "0.1.0"
 
 from objectdetection_tpu import config  # noqa: F401
+from objectdetection_tpu.config import (  # noqa: F401
+    COCO_CONFIG,
+    SHAPES_CONFIG,
+    DetectorConfig,
+    FasterRCNNConfig,
+)
+
+
+def __getattr__(name):
+    """Lazy submodule access: `objectdetection_tpu.detector` etc. without
+    importing the heavy dependency graph at package import."""
+    import importlib
+
+    if name in {
+        "detector", "parallel", "checkpoint", "losses", "geometry",
+        "anchors", "evaluate", "metrics", "viz", "serve", "coco_eval",
+    }:
+        return importlib.import_module(f"objectdetection_tpu.{name}")
+    raise AttributeError(name)

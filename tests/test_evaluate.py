@@ -126,3 +126,29 @@ class TestMetrics:
         x = jnp.asarray([1.0, float("nan")])
         out = metrics.check_finite(x, "x")
         assert out is x
+
+    def test_profiler_trace_writes_files(self, tmp_path):
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        with metrics.trace(str(tmp_path)):
+            y = jax.jit(lambda a: a * 2)(jnp.ones((8, 8)))
+            jax.block_until_ready(y)
+        found = []
+        for root, _, files in os.walk(tmp_path):
+            found.extend(files)
+        assert any(f.endswith(".pb") or "trace" in f for f in found), found
+
+    def test_debug_checks_on_run_under_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        metrics.enable_debug_checks(True)
+        try:
+            f = jax.jit(lambda x: metrics.check_boxes(x, "b"))
+            out = f(jnp.asarray([[0.1, 0.1, 0.5, 0.5]]))
+            assert out.shape == (1, 4)
+        finally:
+            metrics.enable_debug_checks(False)
