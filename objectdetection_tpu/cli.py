@@ -134,6 +134,10 @@ def cmd_train(args):
         post_nms_rois_training=args.post_nms,
         post_nms_rois_inference=min(SHAPES_CONFIG.post_nms_rois_inference, args.post_nms),
         pre_nms_rois_count=min(SHAPES_CONFIG.pre_nms_rois_count, 8 * args.post_nms),
+        learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=max(args.steps // 20, 10),
+        total_train_steps=args.steps,
     )
     ds = ShapesDataset(args.dataset_size, 128, 128, seed=args.seed)
     holdout = ShapesDataset(args.eval_images, 128, 128, seed=args.seed + 999)
@@ -159,11 +163,15 @@ def cmd_train(args):
     )
     rng = np.random.RandomState(args.seed)
 
-    for step in range(args.steps):
+    from objectdetection_tpu.data.prefetch import Prefetcher
+
+    def make_batch(step):
         ids = rng.randint(0, args.dataset_size, args.batch).tolist()
-        batch = jax.tree.map(
-            jnp.asarray, ds.load_batch(ids, cfg, with_masks=args.masks)
-        )
+        return ds.load_batch(ids, cfg, with_masks=args.masks)
+
+    prefetcher = Prefetcher(make_batch, num_steps=args.steps, depth=2)
+    for step in range(args.steps):
+        batch = jax.tree.map(jnp.asarray, prefetcher.get())
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
         if step % args.log_every == 0 or step == args.steps - 1:
             vals = {k: round(float(v), 4) for k, v in metrics.items()}
@@ -184,6 +192,7 @@ def cmd_train(args):
                 flush=True,
             )
 
+    prefetcher.close()
     if args.ckpt:
         checkpoint.save_checkpoint(args.ckpt, state)
         print(f"saved checkpoint to {args.ckpt}")
@@ -311,6 +320,9 @@ def main(argv=None):
     )
     t.add_argument("--weights", default="", help="matterport h5 to start from")
     t.add_argument("--resume", default="", help="orbax checkpoint to resume")
+    t.add_argument("--lr", type=float, default=0.001)
+    t.add_argument("--lr-schedule", choices=["constant", "warmup_cosine"],
+                   default="constant")
     t.add_argument("--eval-masks", action="store_true", help="also report mask mAP")
     t.set_defaults(fn=cmd_train)
 

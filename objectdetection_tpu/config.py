@@ -78,6 +78,9 @@ class DetectorConfig:
     learning_rate_momentum: float = 0.9
     weight_decay: float = 1e-4
     gradient_clip_norm: float = 5.0
+    lr_schedule: str = "constant"  # or "warmup_cosine"
+    warmup_steps: int = 100
+    total_train_steps: int = 10000
 
     # --- numerics / execution ---
     compute_dtype: str = "bfloat16"  # backbone/head conv compute dtype

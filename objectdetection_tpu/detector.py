@@ -239,11 +239,24 @@ def make_optimizer(
     `train_layers='heads'` freezes everything except the FPN laterals, RPN
     and ROI heads (≙ the reference's `train_nets='heads'` fine-tuning mode,
     load_params.py:85-86, via an optax mask instead of a skip-list).
+
+    `config.lr_schedule`: "constant" or "warmup_cosine" (linear warmup over
+    `config.warmup_steps` then cosine decay to zero over
+    `config.total_train_steps`).
     """
+    if getattr(config, "lr_schedule", "constant") == "warmup_cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=config.learning_rate,
+            warmup_steps=config.warmup_steps,
+            decay_steps=max(config.total_train_steps, config.warmup_steps + 1),
+        )
+    else:
+        lr = config.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(config.gradient_clip_norm),
         optax.add_decayed_weights(config.weight_decay),
-        optax.sgd(config.learning_rate, momentum=config.learning_rate_momentum),
+        optax.sgd(lr, momentum=config.learning_rate_momentum),
     )
     if train_layers == "all":
         return tx
