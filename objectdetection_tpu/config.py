@@ -175,5 +175,18 @@ class FasterRCNNConfig:
 
     pool_shape: Tuple[int, int] = (7, 7)
 
+    # training (the reference never finished its Faster R-CNN driver;
+    # classic paper-style defaults)
+    rpn_train_anchors_per_image: int = 256
+    rpn_bbox_stddev: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    bbox_stddev: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    train_rois_per_image: int = 64
+    roi_positive_ratio: float = 0.25
+    mask_shape: Tuple[int, int] = (14, 14)  # unused (no mask head)
+    learning_rate: float = 0.001
+    learning_rate_momentum: float = 0.9
+    weight_decay: float = 5e-4
+    gradient_clip_norm: float = 10.0
+
     def replace(self, **kw) -> "FasterRCNNConfig":
         return dataclasses.replace(self, **kw)

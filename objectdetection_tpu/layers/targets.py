@@ -56,8 +56,9 @@ def rpn_targets(
     anchors: Array,
     gt_boxes: Array,
     gt_valid: Array,
-    config: DetectorConfig,
+    config,
     rng: Array,
+    encode_fn=None,
 ) -> RPNTargets:
     """Per-image RPN classification/regression targets.
 
@@ -65,12 +66,17 @@ def rpn_targets(
       anchors: [A, 4] (same coordinate frame as gt_boxes).
       gt_boxes: [G, 4] zero-padded GT boxes.
       gt_valid: [G] bool.
-      config: detector config.
+      config: any config with rpn_train_anchors_per_image / rpn_bbox_stddev.
       rng: PRNG key for the balancing subsample.
+      encode_fn: optional (boxes, gt) → deltas override (e.g. the Faster
+        R-CNN family's legacy +1 encoding); default is the Mask R-CNN
+        center-form encoding.
     """
     a = anchors.shape[0]
     budget = config.rpn_train_anchors_per_image
     half = budget // 2
+    if encode_fn is None:
+        encode_fn = encode_box_deltas
 
     from objectdetection_tpu.ops.anchor_match import anchor_match
 
@@ -110,7 +116,7 @@ def rpn_targets(
     # Packed deltas for kept positives in ascending anchor order
     # (data_processor.py:266-292 packs positives by anchor index).
     matched_gt = jnp.take(gt_boxes, anchor_argmax, axis=0)  # [A, 4]
-    deltas_all = encode_box_deltas(anchors, matched_gt)
+    deltas_all = encode_fn(anchors, matched_gt)
     deltas_all = deltas_all / jnp.asarray(config.rpn_bbox_stddev, jnp.float32)
 
     keep_pos_final = target == 1
@@ -139,9 +145,10 @@ def detection_targets(
     proposals: Array,
     gt_boxes: Array,
     gt_class_ids: Array,
-    config: DetectorConfig,
+    config,
     rng: Array,
     gt_masks: Optional[Array] = None,
+    encode_fn=None,
 ) -> DetectionTargets:
     """Per-image second-stage training targets. ≙ data_processor.py:512-627.
 
@@ -200,7 +207,7 @@ def detection_targets(
     tgt_class = jnp.where(row_pos, tgt_class, 0)
 
     matched_gt = jnp.take(gt_boxes, gt_assign, axis=0)
-    deltas = encode_box_deltas(rois, matched_gt) / jnp.asarray(
+    deltas = (encode_fn or encode_box_deltas)(rois, matched_gt) / jnp.asarray(
         config.bbox_stddev, jnp.float32
     )
     deltas = jnp.where(row_pos[:, None], deltas, 0.0)

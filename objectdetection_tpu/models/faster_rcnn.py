@@ -59,6 +59,32 @@ def zf_grid_anchors(feature_shape: Tuple[int, int], stride: int) -> np.ndarray:
     return anchors.reshape(-1, 4).astype(np.float32)
 
 
+def encode_zf_deltas(boxes: Array, gt_boxes: Array) -> Array:
+    """Inverse of :func:`decode_zf_deltas` (legacy +1 size convention).
+
+    ≙ corner_pixels_to_center (proposals.py:198-236). boxes/gt [..., 4] xyxy.
+    """
+    bw = boxes[..., 2] - boxes[..., 0] + 1.0
+    bh = boxes[..., 3] - boxes[..., 1] + 1.0
+    bcx = boxes[..., 0] + bw / 2.0
+    bcy = boxes[..., 1] + bh / 2.0
+
+    gw = gt_boxes[..., 2] - gt_boxes[..., 0] + 1.0
+    gh = gt_boxes[..., 3] - gt_boxes[..., 1] + 1.0
+    gcx = gt_boxes[..., 0] + gw / 2.0
+    gcy = gt_boxes[..., 1] + gh / 2.0
+
+    return jnp.stack(
+        [
+            (gcx - bcx) / bw,
+            (gcy - bcy) / bh,
+            jnp.log(gw / bw),
+            jnp.log(gh / bh),
+        ],
+        axis=-1,
+    )
+
+
 def decode_zf_deltas(anchors: Array, deltas: Array) -> Array:
     """Inverse box transform with the legacy +1 size convention.
 
@@ -227,17 +253,35 @@ class FasterRCNN(nn.Module):
             num_classes=self.config.num_classes, dtype=self.dtype, name="fastrcnn"
         )
 
+    def features_and_rpn(self, images: Array):
+        feats = self.backbone(images)
+        rpn_logits, fg_probs, deltas = self.rpn(feats)
+        return feats, rpn_logits, fg_probs, deltas
+
+    def classify(self, feats: Array, rois: Array):
+        """ROI heads on explicit boxes (training path samples these)."""
+        return jax.vmap(
+            lambda fm, r: self.head(fm, r, self.config.image_shape)
+        )(feats, rois)
+
     def __call__(self, images: Array, training: bool = False):
         feats = self.backbone(images)
-        _, fg_probs, deltas = self.rpn(feats)
+        rpn_logits, fg_probs, deltas = self.rpn(feats)
         proposals, valid = zf_proposal_layer(
             fg_probs, deltas, self.config, training=training
         )
+        if training:
+            # proposals feed target sampling / ROI pooling only (the
+            # reference stops gradients at ROI boxes); also keeps the NMS
+            # kernel out of the backward program
+            proposals = jax.lax.stop_gradient(proposals)
+            valid = jax.lax.stop_gradient(valid)
         logits, probs, bbox = jax.vmap(
             lambda fm, rois: self.head(fm, rois, self.config.image_shape)
         )(feats, proposals)
         return {
             "feature_map": feats,
+            "rpn_logits": rpn_logits,
             "fg_probs": fg_probs,
             "rpn_deltas": deltas,
             "proposals": proposals,

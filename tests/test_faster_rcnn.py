@@ -73,6 +73,53 @@ class TestVGG16:
         assert {"conv1_1", "conv3_3", "conv5_3"} <= names
 
 
+class TestTraining:
+    def test_zf_encode_decode_roundtrip(self):
+        rng = np.random.RandomState(0)
+        a = rng.rand(16, 4).astype(np.float32) * 100
+        a[:, 2:] += a[:, :2] + 5
+        g = rng.rand(16, 4).astype(np.float32) * 100
+        g[:, 2:] += g[:, :2] + 5
+        d = fr.encode_zf_deltas(jnp.asarray(a), jnp.asarray(g))
+        rec = np.asarray(fr.decode_zf_deltas(jnp.asarray(a), d))
+        # the legacy +1 convention round-trips corners to (x1, y1, x2+1, y2+1)
+        # — exactly the reference's own decode arithmetic (proposals.py:306-309)
+        expected = g + np.array([0, 0, 1, 1], np.float32)
+        np.testing.assert_allclose(rec, expected, rtol=1e-4, atol=1e-2)
+
+    def test_train_step_losses_finite_and_decrease(self):
+        from objectdetection_tpu import faster_rcnn_train as ft
+
+        cfg = CFG.replace(
+            image_shape=(64, 64, 3),
+            pre_nms_top_n_train=128, post_nms_top_n_train=32,
+            train_rois_per_image=8, rpn_train_anchors_per_image=32,
+        )
+        state = ft.create_train_state(cfg, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = ft.FasterRCNNBatch(
+            images=jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)),
+            gt_boxes=jnp.asarray(
+                np.array(
+                    [[[5, 5, 40, 40], [20, 30, 60, 62]],
+                     [[10, 10, 50, 50], [0, 0, 0, 0]]],
+                    np.float32,
+                )
+            ),
+            gt_class_ids=jnp.asarray([[1, 2], [3, 0]], jnp.int32),
+        )
+        step = ft.make_train_step(cfg)
+        first = None
+        for i in range(4):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            total = float(metrics["total_loss"])
+            assert np.isfinite(total), metrics
+            if first is None:
+                first = total
+        assert total < first
+        assert int(state.step) == 4
+
+
 class TestEndToEnd:
     @pytest.fixture(scope="class")
     def model_and_vars(self):
