@@ -19,7 +19,7 @@ Matterport h5 layout handled (load_params.py:105-135):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ is the framework's user entry point:
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 

@@ -24,7 +24,7 @@ import numpy as np
 from jax import Array
 
 from objectdetection_tpu.config import DetectorConfig
-from objectdetection_tpu.geometry import norm_boxes, denorm_boxes
+from objectdetection_tpu.geometry import norm_boxes
 
 
 class ImageMeta(NamedTuple):

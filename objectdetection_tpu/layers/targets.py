@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from objectdetection_tpu.config import DetectorConfig
 from objectdetection_tpu.geometry import encode_box_deltas, iou_matrix
 from objectdetection_tpu.ops.roi_align import crop_and_resize
 

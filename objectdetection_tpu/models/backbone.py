@@ -17,7 +17,7 @@ TPU-native choices:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -7,7 +7,7 @@ is one parameter tree and every stage runs inside a single jitted program.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
