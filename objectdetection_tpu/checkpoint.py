@@ -163,8 +163,11 @@ def _adapt_shape(layer, leaf_name, val, want_shape, strict):
             # 1x1 conv [1,1,1024,1024] → dense [1024, 1024]
             val = val.reshape(val.shape[-2], val.shape[-1])
         elif layer == "mrcnn_mask_deconv":
-            # Keras Conv2DTranspose (kh, kw, out, in) → flax (kh, kw, in, out)
-            val = np.transpose(val, (0, 1, 3, 2))
+            # Keras Conv2DTranspose stores (kh, kw, out, in) and computes the
+            # gradient-of-conv (spatially flipped) operation; flax
+            # ConvTranspose correlates without the flip, so convert with BOTH
+            # a channel swap and a spatial flip.
+            val = np.transpose(val, (0, 1, 3, 2))[::-1, ::-1]
     if tuple(val.shape) != tuple(want_shape):
         msg = (
             f"shape mismatch for {layer}/{leaf_name}: "

@@ -285,7 +285,22 @@ def cmd_serve(args):
 
 
 def cmd_bench(args):
-    from bench import main as bench_main  # reuse the repo-root harness
+    # bench.py lives at the repo root (not inside the installed package);
+    # fall back to loading it by path so `odtpu bench` works anywhere
+    try:
+        from bench import main as bench_main
+    except ImportError:
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        spec = importlib.util.spec_from_file_location("bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        bench_main = mod.main
 
     sys.argv = ["bench"] + args.rest
     bench_main()

@@ -68,26 +68,34 @@ def run_coco_eval(
         t_infer += time.time() - t0
 
         for bi, img_id in enumerate(ids):
-            # window-relative unmold to original pixel coordinates (host side
-            # mirror of data.preprocess.unmold_detections)
-            h0, w0 = shapes[bi]
-            wy1, wx1, wy2, wx2 = (
-                windows[bi] - np.array([0.0, 0.0, 1.0, 1.0])
-            ) / (d - 1)
-            shift = np.array([wy1, wx1, wy1, wx1])
-            scale = np.array([wy2 - wy1, wx2 - wx1, wy2 - wy1, wx2 - wx1])
-            valid = np.asarray(det.valid[bi])
-            boxes = (det_boxes[bi][valid] - shift) / scale
-            boxes = boxes * np.array([h0 - 1, w0 - 1, h0 - 1, w0 - 1]) + np.array(
-                [0, 0, 1, 1]
+            # canonical window-relative unmold (shared with the device path)
+            from objectdetection_tpu.data.preprocess import unmold_detections
+
+            det_row = jnp.concatenate(
+                [
+                    det.boxes[bi],
+                    det.class_ids[bi][:, None].astype(jnp.float32),
+                    det.scores[bi][:, None],
+                ],
+                axis=1,
             )
+            boxes_px, cls, scores_v, valid = unmold_detections(
+                det_row,
+                jnp.asarray(windows[bi]),
+                (d, d),
+                jnp.asarray(shapes[bi]),
+            )
+            valid = np.asarray(valid)
             gt_boxes, gt_classes = dataset.annotations(img_id)
+            crowd_boxes, crowd_classes = dataset.crowd_regions(img_id)
             ev.add_image(
-                boxes,
-                np.asarray(det.class_ids[bi])[valid],
-                np.asarray(det.scores[bi])[valid],
+                np.asarray(boxes_px)[valid],
+                np.asarray(cls)[valid],
+                np.asarray(scores_v)[valid],
                 gt_boxes,
                 gt_classes,
+                ignore_boxes=crowd_boxes,
+                ignore_classes=crowd_classes,
             )
         n_done += len(ids)
         if verbose and (start // batch_size) % 10 == 0:

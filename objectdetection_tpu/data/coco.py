@@ -58,10 +58,14 @@ class CocoDataset:
         for img in data["images"]:
             self._images[img["id"]] = img
             self._anns[img["id"]] = []
+        self._crowds: Dict[int, list] = {i: [] for i in self._images}
         for ann in data.get("annotations", []):
             if ann.get("iscrowd", 0):
-                continue
-            self._anns.setdefault(ann["image_id"], []).append(ann)
+                # crowd regions are ignore regions, not GT instances
+                # (pycocotools semantics) — kept separately for the evaluator
+                self._crowds.setdefault(ann["image_id"], []).append(ann)
+            else:
+                self._anns.setdefault(ann["image_id"], []).append(ann)
         self.image_ids = sorted(self._images)
 
     @property
@@ -84,6 +88,21 @@ class CocoDataset:
     def annotations(self, image_id: int) -> Tuple[np.ndarray, np.ndarray]:
         """(boxes [N, 4] pixel y1x1y2x2, class_ids [N]) for one image."""
         anns = self._anns.get(image_id, [])
+        boxes, ids = [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            if w <= 0 or h <= 0:
+                continue
+            boxes.append([y, x, y + h, x + w])
+            ids.append(self._cat_to_class[a["category_id"]])
+        if not boxes:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        return np.asarray(boxes, np.float32), np.asarray(ids, np.int32)
+
+    def crowd_regions(self, image_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(boxes [N, 4] pixel y1x1y2x2, class_ids [N]) of iscrowd regions —
+        detections matching these are ignored (not FPs) during eval."""
+        anns = self._crowds.get(image_id, [])
         boxes, ids = [], []
         for a in anns:
             x, y, w, h = a["bbox"]

@@ -56,10 +56,14 @@ class Prefetcher:
         except BaseException as e:  # surfaced on next get()
             self._error = e
         finally:
-            try:
-                self._q.put(self._SENTINEL, timeout=1.0)
-            except queue.Full:
-                pass
+            # the sentinel must not be dropped when the queue is full — keep
+            # trying until delivered or the prefetcher is closed
+            while not self._stop.is_set():
+                try:
+                    self._q.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def get(self, timeout: float = 300.0):
         item = self._q.get(timeout=timeout)

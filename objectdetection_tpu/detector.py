@@ -122,8 +122,14 @@ def forward_inference(
     return result
 
 
+@functools.lru_cache(maxsize=16)
 def make_infer_fn(config: DetectorConfig, with_masks: bool = True):
-    """Returns a jitted `(variables, images, windows) -> Detections`."""
+    """Returns a jitted `(variables, images, windows) -> Detections`.
+
+    Cached per (config, with_masks): repeated calls (e.g. periodic eval
+    during training) reuse the same jitted callable and its compiled
+    executables instead of retracing.
+    """
 
     @jax.jit
     def infer_fn(variables, images, windows):

@@ -75,15 +75,30 @@ class DetectionEvaluator:
         gt_classes: np.ndarray,
         pred_masks: np.ndarray = None,
         gt_masks: np.ndarray = None,
+        ignore_boxes: np.ndarray = None,
+        ignore_classes: np.ndarray = None,
     ) -> None:
         """Boxes are [N, 4] (y1, x1, y2, x2) in any consistent frame; masks
-        (when scoring mask mAP) are [N, H, W] booleans in the image frame."""
+        (when scoring mask mAP) are [N, H, W] booleans in the image frame.
+
+        `ignore_boxes`/`ignore_classes`: regions (e.g. COCO crowds) — an
+        unmatched detection whose intersection-over-detection-area with a
+        same-class ignore region exceeds the IoU threshold is dropped from
+        scoring entirely (pycocotools crowd semantics)."""
         row = dict(
             pb=np.asarray(pred_boxes, np.float32).reshape(-1, 4),
             pc=np.asarray(pred_classes, np.int32).reshape(-1),
             ps=np.asarray(pred_scores, np.float32).reshape(-1),
             gb=np.asarray(gt_boxes, np.float32).reshape(-1, 4),
             gc=np.asarray(gt_classes, np.int32).reshape(-1),
+            ib=np.asarray(
+                ignore_boxes if ignore_boxes is not None else np.zeros((0, 4)),
+                np.float32,
+            ).reshape(-1, 4),
+            ic=np.asarray(
+                ignore_classes if ignore_classes is not None else np.zeros((0,)),
+                np.int32,
+            ).reshape(-1),
         )
         if self.use_masks:
             assert pred_masks is not None and gt_masks is not None
@@ -108,18 +123,37 @@ class DetectionEvaluator:
                 )
             else:
                 iou = _iou_matrix(pb, gt)
+            # same-class ignore (crowd) regions: intersection / det area
+            ig = img["ib"][img["ic"] == cls]
+            if len(ig) and len(pb):
+                y1 = np.maximum(pb[:, None, 0], ig[None, :, 0])
+                x1 = np.maximum(pb[:, None, 1], ig[None, :, 1])
+                y2 = np.minimum(pb[:, None, 2], ig[None, :, 2])
+                x2 = np.minimum(pb[:, None, 3], ig[None, :, 3])
+                inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+                det_area = np.maximum(
+                    (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1]), 1e-9
+                )
+                crowd_iou = (inter / det_area[:, None]).max(axis=1)
+            else:
+                crowd_iou = np.zeros(len(pb))
+
             taken = np.zeros(len(gt), bool)
             for i in range(len(pb)):
-                scores.append(ps[i])
                 if len(gt) == 0:
-                    matches.append(0)
+                    if crowd_iou[i] < iou_thresh:
+                        scores.append(ps[i])
+                        matches.append(0)
                     continue
                 j = int(np.argmax(np.where(taken, -1.0, iou[i])))
                 if iou[i, j] >= iou_thresh and not taken[j]:
                     taken[j] = True
+                    scores.append(ps[i])
                     matches.append(1)
-                else:
+                elif crowd_iou[i] < iou_thresh:
+                    scores.append(ps[i])
                     matches.append(0)
+                # else: unmatched but inside a crowd region → ignored
         return np.asarray(scores), np.asarray(matches), total_gt
 
     def evaluate(self) -> Dict[str, float]:

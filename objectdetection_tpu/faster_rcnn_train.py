@@ -66,6 +66,7 @@ def compute_losses(
     # --- proposals + second-stage targets ---
     proposals, _ = zf_proposal_layer(fg_probs, rpn_deltas, config, training=True)
     proposals = jax.lax.stop_gradient(proposals)
+    rng_det, rng_dropout = jax.random.split(rng_det)
     det_keys = jax.random.split(rng_det, b)
     det_tgt = jax.vmap(
         lambda p, gb, gc, key: detection_targets(
@@ -74,7 +75,8 @@ def compute_losses(
     )(proposals, batch.gt_boxes, batch.gt_class_ids, det_keys)
 
     logits, _, bbox = model.apply(
-        variables, feats, det_tgt.rois, method=model.classify
+        variables, feats, det_tgt.rois, deterministic=False,
+        method=model.classify, rngs={"dropout": rng_dropout},
     )
 
     active = jnp.ones((b, config.num_classes), jnp.int32)

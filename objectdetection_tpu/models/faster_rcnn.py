@@ -258,10 +258,16 @@ class FasterRCNN(nn.Module):
         rpn_logits, fg_probs, deltas = self.rpn(feats)
         return feats, rpn_logits, fg_probs, deltas
 
-    def classify(self, feats: Array, rois: Array):
-        """ROI heads on explicit boxes (training path samples these)."""
+    def classify(self, feats: Array, rois: Array, deterministic: bool = True):
+        """ROI heads on explicit boxes (training path samples these).
+
+        Pass `deterministic=False` (with a 'dropout' rng in apply) to enable
+        the head's dropout during training.
+        """
         return jax.vmap(
-            lambda fm, r: self.head(fm, r, self.config.image_shape)
+            lambda fm, r: self.head(
+                fm, r, self.config.image_shape, deterministic=deterministic
+            )
         )(feats, rois)
 
     def __call__(self, images: Array, training: bool = False):

@@ -152,9 +152,12 @@ def non_max_suppression(
     if backend == "pallas":
         from objectdetection_tpu.ops.nms_pallas import nms_suppress_pallas
 
-        out_boxes = nms_suppress_pallas(
-            sboxes, sclass, iou_threshold, tile_size=min(tile_size, 256)
-        )
+        # the kernel tile must divide the padded length — re-pad for its
+        # (possibly smaller) tile size (e.g. N=300 → pad 300 → tile 256)
+        pt = min(tile_size, 256)
+        pboxes = _pad_to_multiple(sboxes, pt, axis=0, value=0.0)
+        pclass = _pad_to_multiple(sclass, pt, axis=0, value=-1)
+        out_boxes = nms_suppress_pallas(pboxes, pclass, iou_threshold, tile_size=pt)
         return _finalize(out_boxes, svalid, order, n, max_output)
 
     def tile_body(i, state_boxes):

@@ -121,6 +121,39 @@ class TestMatterportH5:
         assert np.isfinite(np.asarray(det.boxes)).all()
 
 
+class TestDeconvSemantics:
+    def test_keras_conv2dtranspose_conversion(self):
+        """The h5 deconv kernel must be channel-swapped AND spatially flipped
+        to reproduce Keras Conv2DTranspose outputs in flax ConvTranspose."""
+        import flax.linen as nn
+
+        rng = np.random.RandomState(0)
+        cin, cout = 3, 5
+        x = rng.randn(1, 4, 4, cin).astype(np.float32)
+        k_keras = rng.randn(2, 2, cout, cin).astype(np.float32)
+
+        # direct Keras semantics for a 2x2 stride-2 deconv
+        expected = np.zeros((1, 8, 8, cout), np.float32)
+        for i in range(4):
+            for j in range(4):
+                for dy in range(2):
+                    for dx in range(2):
+                        expected[0, 2 * i + dy, 2 * j + dx] = (
+                            x[0, i, j] @ k_keras[dy, dx].T
+                        )
+
+        converted = checkpoint._adapt_shape(
+            "mrcnn_mask_deconv", "kernel", k_keras, (2, 2, cin, cout), True
+        )
+        mod = nn.ConvTranspose(cout, (2, 2), strides=(2, 2))
+        out = mod.apply(
+            {"params": {"kernel": jnp.asarray(converted.copy()),
+                        "bias": jnp.zeros(cout)}},
+            jnp.asarray(x),
+        )
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
 class TestOrbax:
     def test_roundtrip(self, variables, tmp_path):
         path = str(tmp_path / "ckpt")

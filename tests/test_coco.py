@@ -57,10 +57,14 @@ class TestCocoDataset:
         np.testing.assert_allclose(boxes[0], [20, 10, 60, 40])
         assert ids[0] == 2  # category 7 → second class
 
-    def test_crowd_excluded(self, mini_coco):
+    def test_crowd_excluded_from_gt_but_kept_as_ignore(self, mini_coco):
         ds = CocoDataset(*mini_coco)
         boxes, _ = ds.annotations(2)
         assert len(boxes) == 0
+        cboxes, cids = ds.crowd_regions(2)
+        assert len(cboxes) == 1
+        np.testing.assert_allclose(cboxes[0], [0, 0, 50, 50])
+        assert cids[0] == 1  # category 3 → class 1
 
     def test_image_loading(self, mini_coco):
         ds = CocoDataset(*mini_coco)

@@ -66,6 +66,31 @@ class TestEvaluator:
         assert res["mAP"] == 1.0
 
 
+class TestCrowdIgnore:
+    def test_detection_in_crowd_not_fp(self):
+        ev = DetectionEvaluator(num_classes=2)
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        # second detection lies inside a crowd region, scored higher than the TP
+        preds = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        crowd = np.array([[45, 45, 70, 70]], np.float32)
+        ev.add_image(
+            preds, [1, 1], [0.5, 0.9], gt, [1],
+            ignore_boxes=crowd, ignore_classes=[1],
+        )
+        assert ev.evaluate()["mAP"] == 1.0  # crowd hit ignored, TP clean
+
+    def test_crowd_of_other_class_still_fp(self):
+        ev = DetectionEvaluator(num_classes=3)
+        gt = np.array([[0, 0, 10, 10]], np.float32)
+        preds = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
+        crowd = np.array([[45, 45, 70, 70]], np.float32)
+        ev.add_image(
+            preds, [1, 1], [0.5, 0.9], gt, [1],
+            ignore_boxes=crowd, ignore_classes=[2],  # different class
+        )
+        assert abs(ev.evaluate()["mAP"] - 0.5) < 1e-6
+
+
 class TestMaskMAP:
     def _mask(self, h, w, y1, x1, y2, x2):
         m = np.zeros((h, w), bool)
