@@ -84,8 +84,10 @@ class DetectorConfig:
 
     # --- numerics / execution ---
     compute_dtype: str = "bfloat16"  # backbone/head conv compute dtype
-    # MXU-friendly space-to-depth rewrite of the ResNet stem (identical math)
-    conv1_space_to_depth: bool = True
+    # space-to-depth stem rewrite (identical math). Measured SLOWER than a
+    # plain in-op-padded conv on v5e (the 2x2-block relayout of tiny-channel
+    # data dominates) — kept as an option, off by default.
+    conv1_space_to_depth: bool = False
     # rematerialize backbone blocks in backward (memory for FLOPs, training)
     remat_backbone: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of

@@ -111,7 +111,7 @@ class Stage1Conv(nn.Module):
     2x2-blocked input. Parameter layout is identical in both modes.
     """
 
-    space_to_depth: bool = True
+    space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -126,9 +126,10 @@ class Stage1Conv(nn.Module):
         kernel = kernel.astype(dt)
 
         if not self.space_to_depth or h % 2 or w % 2:
-            x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            # pad inside the conv op — an explicit jnp.pad of the full-res
+            # input is a separate 100MB+ copy kernel (measured ~3ms/batch-8)
             y = jax.lax.conv_general_dilated(
-                x, kernel, window_strides=(2, 2), padding="VALID",
+                x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(dt)
@@ -168,7 +169,7 @@ class ResNetBottomUp(nn.Module):
 
     model: str = "resnet101"
     dtype: Any = jnp.float32
-    conv1_space_to_depth: bool = True
+    conv1_space_to_depth: bool = False
     remat: bool = False  # rematerialize blocks in the backward pass
 
     @nn.compact
@@ -232,7 +233,7 @@ class ResNetFPN(nn.Module):
     model: str = "resnet101"
     channels: int = 256
     dtype: Any = jnp.float32
-    conv1_space_to_depth: bool = True
+    conv1_space_to_depth: bool = False
     remat: bool = False
 
     @nn.compact
