@@ -190,9 +190,15 @@ def compute_losses(
     )
     det_keys = jax.random.split(rng_det, b)
     if with_masks and batch.gt_masks is not None:
+        # gt_masks may be full-frame [B,G,H,W] or mini-masks in per-instance
+        # box frames (config.use_mini_mask + mini-mask-shaped input)
+        mini = (
+            config.use_mini_mask
+            and batch.gt_masks.shape[2:] == tuple(config.mini_mask_shape)
+        )
         det_tgt = jax.vmap(
             lambda p, gb, gc, gm, key: detection_targets(
-                p, gb, gc, config, key, gt_masks=gm
+                p, gb, gc, config, key, gt_masks=gm, masks_are_mini=mini
             )
         )(proposals, batch.gt_boxes, batch.gt_class_ids, batch.gt_masks, det_keys)
     else:

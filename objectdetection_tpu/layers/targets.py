@@ -148,6 +148,7 @@ def detection_targets(
     rng: Array,
     gt_masks: Optional[Array] = None,
     encode_fn=None,
+    masks_are_mini: bool = False,
 ) -> DetectionTargets:
     """Per-image second-stage training targets. ≙ data_processor.py:512-627.
 
@@ -157,8 +158,11 @@ def detection_targets(
       gt_class_ids: [G] int32, 0 = padding.
       config: detector config.
       rng: PRNG key.
-      gt_masks: optional [G, H, W] instance masks (full molded-image frame,
-        values {0,1}) for mask-head targets.
+      gt_masks: optional [G, H, W] instance masks for mask-head targets —
+        either full molded-image frame, or (with `masks_are_mini`) mini-masks
+        cropped to each instance's gt box (config.mini_mask_shape, ≙ the
+        reference's USE_MINI_MASK memory optimization, config.py:55-58).
+      masks_are_mini: interpret gt_masks in per-instance box frames.
     """
     t = config.train_rois_per_image
     num_pos_budget = int(t * config.roi_positive_ratio)
@@ -218,11 +222,27 @@ def detection_targets(
         # Crop each positive ROI's matched GT mask to the ROI box, resized to
         # the mask-head output resolution (Mask R-CNN mask targets).
         matched_masks = jnp.take(gt_masks, gt_assign, axis=0)  # [T, H, W]
+        if masks_are_mini:
+            # mini-masks live in their gt box's frame: express the ROI in
+            # box-relative coordinates before cropping
+            gh = jnp.maximum(matched_gt[:, 2] - matched_gt[:, 0], 1e-6)
+            gw = jnp.maximum(matched_gt[:, 3] - matched_gt[:, 1], 1e-6)
+            crop_boxes = jnp.stack(
+                [
+                    (rois[:, 0] - matched_gt[:, 0]) / gh,
+                    (rois[:, 1] - matched_gt[:, 1]) / gw,
+                    (rois[:, 2] - matched_gt[:, 0]) / gh,
+                    (rois[:, 3] - matched_gt[:, 1]) / gw,
+                ],
+                axis=1,
+            )
+        else:
+            crop_boxes = rois
 
         def crop_one(mask, box):
             return crop_and_resize(mask[:, :, None], box[None], (mh, mw))[0, :, :, 0]
 
-        target_masks = jax.vmap(crop_one)(matched_masks, rois)
+        target_masks = jax.vmap(crop_one)(matched_masks, crop_boxes)
         target_masks = jnp.where(
             row_pos[:, None, None], jnp.round(target_masks), 0.0
         )

@@ -79,7 +79,14 @@ def crop_and_resize(
     bot = take(y1i, x0i) * (1 - wx)[:, None, :, None] + take(y1i, x1i) * wx[
         :, None, :, None
     ]
-    return top * (1 - wy)[:, :, None, None] + bot * wy[:, :, None, None]
+    out = top * (1 - wy)[:, :, None, None] + bot * wy[:, :, None, None]
+
+    # tf.image.crop_and_resize extrapolation: sample points outside the
+    # image are 0 (matters when boxes exceed [0, 1], e.g. mini-mask crops)
+    inside = (
+        (ys >= 0) & (ys <= h - 1)
+    )[:, :, None] & ((xs >= 0) & (xs <= w - 1))[:, None, :]
+    return jnp.where(inside[..., None], out, 0.0)
 
 
 def roi_levels(

@@ -252,3 +252,39 @@ class TestDetectionTargets:
         pos_row = int(np.argmax(np.asarray(out.pos_mask)))
         tm = np.asarray(out.target_masks)[pos_row]
         assert tm.mean() > 0.9
+
+
+class TestMiniMaskTargets:
+    def test_mini_and_full_mask_targets_agree(self):
+        """Mask targets computed from mini-masks must match full-frame ones."""
+        import cv2
+
+        h = w = 64
+        # gt: a filled ellipse-ish blob inside its box
+        full = np.zeros((1, h, w), np.float32)
+        full[0, 16:40, 20:48] = 1.0
+        full[0, 16:20, 20:26] = 0.0  # notch for structure
+        gt = jnp.asarray([[16 / 63, 20 / 63, 39 / 63, 47 / 63]])
+        gt_ids = jnp.asarray([1], jnp.int32)
+        # mini-mask: crop the gt box region, resize to 56²
+        y1, x1, y2, x2 = 16, 20, 40, 48
+        mini = cv2.resize(full[0, y1:y2, x1:x2], (56, 56), interpolation=cv2.INTER_LINEAR)
+
+        cfg = CFG.replace(use_mini_mask=True, mini_mask_shape=(56, 56))
+        proposals = jnp.concatenate(
+            [gt + jnp.asarray([[0.02, 0.01, -0.01, -0.02]]), jnp.zeros((5, 4))],
+            axis=0,
+        )
+        key = jax.random.PRNGKey(0)
+        out_full = detection_targets(
+            proposals, gt, gt_ids, cfg, key, gt_masks=jnp.asarray(full)
+        )
+        out_mini = detection_targets(
+            proposals, gt, gt_ids, cfg, key,
+            gt_masks=jnp.asarray(mini[None]), masks_are_mini=True,
+        )
+        pos = int(np.argmax(np.asarray(out_full.pos_mask)))
+        a = np.asarray(out_full.target_masks)[pos]
+        b = np.asarray(out_mini.target_masks)[pos]
+        # same binary pattern within a small disagreement band
+        assert np.mean(a != b) < 0.06, np.mean(a != b)
