@@ -257,6 +257,71 @@ def cmd_infer(args):
         print(f"wrote {out}")
 
 
+def cmd_train_coco(args):
+    """Train Mask R-CNN on a COCO-format dataset (boxes; masks via pycocotools)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import checkpoint, detector
+    from objectdetection_tpu.config import COCO_CONFIG
+    from objectdetection_tpu.data.coco import CocoDataset, train_batch
+    from objectdetection_tpu.data.prefetch import Prefetcher
+
+    ds = CocoDataset(args.annotations, args.image_dir)
+    cfg = COCO_CONFIG.replace(
+        num_classes=ds.num_classes,
+        learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=max(args.steps // 20, 10),
+        total_train_steps=args.steps,
+        remat_backbone=args.remat,
+    )
+    with_masks = args.masks
+    if with_masks and ds.masks(ds.image_ids[0]) is None:
+        print("pycocotools unavailable — training boxes only", file=sys.stderr)
+        with_masks = False
+
+    state = detector.create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), train_layers=args.train_layers
+    )
+    if args.weights:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = checkpoint.load_matterport_h5(
+            args.weights, variables,
+            skip_layers=checkpoint.HEADS_LAYERS
+            if args.train_layers == "heads" else None,
+            strict=False,
+        )
+        state = state._replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    step_fn = detector.make_train_step(
+        cfg, with_masks=with_masks, train_layers=args.train_layers
+    )
+    rng = np.random.RandomState(args.seed)
+
+    def make(step):
+        ids = [ds.image_ids[i] for i in
+               rng.randint(0, len(ds.image_ids), args.batch)]
+        return train_batch(ds, ids, cfg, with_masks=with_masks)
+
+    pf = Prefetcher(make, num_steps=args.steps, depth=2)
+    for step in range(args.steps):
+        batch = jax.tree.map(jnp.asarray, pf.get())
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            print(
+                f"step {step}: "
+                f"{ {k: round(float(v), 4) for k, v in metrics.items()} }",
+                flush=True,
+            )
+    pf.close()
+    if args.ckpt:
+        checkpoint.save_checkpoint(args.ckpt, state)
+        print(f"saved checkpoint to {args.ckpt}")
+
+
 def cmd_eval_coco(args):
     import jax
 
@@ -345,6 +410,23 @@ def main(argv=None):
     i.add_argument("--weights", default="", help="matterport mask_rcnn_coco.h5")
     i.add_argument("--no-masks", action="store_true")
     i.set_defaults(fn=cmd_infer)
+
+    tc = sub.add_parser("train-coco", help="train on a COCO-format dataset")
+    tc.add_argument("annotations")
+    tc.add_argument("image_dir")
+    tc.add_argument("--steps", type=int, default=1000)
+    tc.add_argument("--batch", type=int, default=8)
+    tc.add_argument("--masks", action="store_true")
+    tc.add_argument("--weights", default="")
+    tc.add_argument("--train-layers", choices=["all", "heads"], default="all")
+    tc.add_argument("--lr", type=float, default=0.001)
+    tc.add_argument("--lr-schedule", choices=["constant", "warmup_cosine"],
+                    default="warmup_cosine")
+    tc.add_argument("--remat", action="store_true")
+    tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--log-every", type=int, default=20)
+    tc.add_argument("--ckpt", default="")
+    tc.set_defaults(fn=cmd_train_coco)
 
     e = sub.add_parser("eval-coco", help="COCO mAP evaluation")
     e.add_argument("annotations", help="instances_*.json")

@@ -138,6 +138,86 @@ class CocoDataset:
         return np.stack(out, axis=-1).astype(bool)
 
 
+def train_batch(dataset: CocoDataset, image_ids, config, with_masks: bool = True):
+    """Mold a COCO training batch: images + window-transformed GT (+ masks).
+
+    GT boxes follow the image through the mold (scale + centered padding)
+    and come out in the reference's normalized convention. Masks become
+    mini-masks (config.mini_mask_shape) when `config.use_mini_mask` — cropped
+    from the ORIGINAL-resolution mask by the original box (scale-invariant),
+    the reference's memory-saving path (utils.minimize_mask) — otherwise
+    full molded-frame masks.
+    """
+    import cv2
+
+    from objectdetection_tpu.data.preprocess import mold_image_host
+    from objectdetection_tpu.detector import TrainBatch
+
+    b = len(image_ids)
+    d = config.image_max_dim
+    g = config.max_gt_objects
+    mini = config.use_mini_mask
+    mh, mw = config.mini_mask_shape if mini else (d, d)
+
+    images = np.zeros((b, d, d, 3), np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_class_ids = np.zeros((b, g), np.int32)
+    gt_masks = np.zeros((b, g, mh, mw), np.float32) if with_masks else None
+    active = np.ones((b, config.num_classes), np.int32)
+
+    for bi, img_id in enumerate(image_ids):
+        rgb = dataset.image(img_id)
+        molded, window, scale = mold_image_host(rgb, config)
+        images[bi] = molded
+        boxes, cls = dataset.annotations(img_id)
+        n = min(len(cls), g)
+        if n == 0:
+            continue
+        top, left = window[0], window[1]
+        pix = boxes[:n] * scale + np.array([top, left, top, left], np.float32)
+        shift = np.array([0, 0, 1, 1], np.float32)
+        gt_boxes[bi, :n] = (pix - shift) / (d - 1)
+        gt_class_ids[bi, :n] = cls[:n]
+        if with_masks:
+            masks = dataset.masks(img_id)  # [H0, W0, N] or None
+            if masks is None:
+                continue
+            for j in range(n):
+                if mini:
+                    y1, x1, y2, x2 = boxes[j].astype(int)
+                    crop = masks[
+                        max(y1, 0) : max(y2, y1 + 1),
+                        max(x1, 0) : max(x2, x1 + 1),
+                        j,
+                    ].astype(np.float32)
+                    if crop.size == 0:
+                        continue
+                    gt_masks[bi, j] = np.round(
+                        cv2.resize(crop, (mw, mh), interpolation=cv2.INTER_LINEAR)
+                    )
+                else:
+                    m = masks[:, :, j].astype(np.float32)
+                    if scale != 1.0:
+                        m = cv2.resize(
+                            m,
+                            (int(round(m.shape[1] * scale)),
+                             int(round(m.shape[0] * scale))),
+                            interpolation=cv2.INTER_LINEAR,
+                        )
+                    h2, w2 = m.shape
+                    gt_masks[bi, j, top : top + h2, left : left + w2] = np.round(
+                        m[: d - top, : d - left]
+                    )
+
+    return TrainBatch(
+        images=images,
+        gt_boxes=gt_boxes,
+        gt_class_ids=gt_class_ids,
+        gt_masks=gt_masks,
+        active_class_ids=active,
+    )
+
+
 def eval_batch(
     dataset: CocoDataset, image_ids, config
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -71,6 +71,21 @@ class TestCocoDataset:
         img = ds.image(1)
         assert img.shape == (96, 128, 3)
 
+    def test_train_batch_geometry(self, mini_coco):
+        from objectdetection_tpu.data.coco import train_batch
+        from objectdetection_tpu.config import SHAPES_CONFIG
+
+        ds = CocoDataset(*mini_coco)
+        cfg = SHAPES_CONFIG.replace(num_classes=3, max_gt_objects=4)
+        batch = train_batch(ds, [1], cfg, with_masks=False)
+        assert batch.images.shape == (1, 128, 128, 3)
+        # image 1 is 96x128 → scale 1, window top pad (128-96)//2 = 16
+        # gt bbox [x=10,y=20,w=30,h=40] → pixel y1=20+16=36, x1=10
+        got = batch.gt_boxes[0, 0] * 127.0 + np.array([0, 0, 1, 1])
+        np.testing.assert_allclose(got, [36, 10, 76, 40], atol=0.5)
+        assert batch.gt_class_ids[0, 0] == 2
+        assert (batch.gt_class_ids[0, 2:] == 0).all()
+
     def test_eval_batch_molding(self, mini_coco):
         ds = CocoDataset(*mini_coco)
         cfg = SHAPES_CONFIG  # 128² target canvas
