@@ -106,7 +106,7 @@ def evaluate_on_shapes(
                     np.asarray(det.masks[bi])[valid], pix_boxes, (h, h)
                 )
                 ev_mask.add_image(
-                    np.asarray(det.boxes[bi])[valid] * scale + shift,
+                    pix_boxes,
                     np.asarray(det.class_ids[bi])[valid],
                     np.asarray(det.scores[bi])[valid],
                     batch.gt_boxes[bi][gt_valid] * scale + shift,
@@ -160,16 +160,22 @@ def cmd_train(args):
     step_fn = detector.make_train_step(
         cfg, with_masks=args.masks, train_layers=args.train_layers
     )
-    rng = np.random.RandomState(args.seed)
-
     from objectdetection_tpu.data.prefetch import Prefetcher
 
-    def make_batch(step):
-        ids = rng.randint(0, args.dataset_size, args.batch).tolist()
+    # per-step seeding keeps the data sequence deterministic AND
+    # resume-correct (a resumed run continues at state.step, not step 0)
+    start_step = int(state.step)
+
+    def make_batch(i):
+        step = start_step + i
+        r = np.random.RandomState(args.seed * 1000003 + step)
+        ids = r.randint(0, args.dataset_size, args.batch).tolist()
         return ds.load_batch(ids, cfg, with_masks=args.masks)
 
-    prefetcher = Prefetcher(make_batch, num_steps=args.steps, depth=2)
-    for step in range(args.steps):
+    prefetcher = Prefetcher(
+        make_batch, num_steps=max(args.steps - start_step, 0), depth=2
+    )
+    for step in range(start_step, args.steps):
         batch = jax.tree.map(jnp.asarray, prefetcher.get())
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
         if step % args.log_every == 0 or step == args.steps - 1:
@@ -278,9 +284,14 @@ def cmd_train_coco(args):
         remat_backbone=args.remat,
     )
     with_masks = args.masks
-    if with_masks and ds.masks(ds.image_ids[0]) is None:
-        print("pycocotools unavailable — training boxes only", file=sys.stderr)
-        with_masks = False
+    if with_masks:
+        try:
+            import pycocotools  # noqa: F401
+        except ImportError:
+            print(
+                "pycocotools unavailable — training boxes only", file=sys.stderr
+            )
+            with_masks = False
 
     state = detector.create_train_state(
         cfg, jax.random.PRNGKey(args.seed), train_layers=args.train_layers

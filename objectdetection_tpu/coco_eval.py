@@ -64,28 +64,27 @@ def run_coco_eval(
 
         t0 = time.time()
         det = infer(variables, put(images), put(windows))
-        det_boxes = np.asarray(det.boxes)
+        det_boxes_h = np.asarray(det.boxes)  # also syncs for timing
         t_infer += time.time() - t0
 
+        det_cls_h = np.asarray(det.class_ids)
+        det_scores_h = np.asarray(det.scores)
         for bi, img_id in enumerate(ids):
-            # canonical window-relative unmold (shared with the device path)
-            from objectdetection_tpu.data.preprocess import unmold_detections
+            # canonical window-relative unmold, host-side (one device→host
+            # transfer per batch above; no per-image device dispatches)
+            from objectdetection_tpu.data.preprocess import unmold_detections_np
 
-            det_row = jnp.concatenate(
+            det_row = np.concatenate(
                 [
-                    det.boxes[bi],
-                    det.class_ids[bi][:, None].astype(jnp.float32),
-                    det.scores[bi][:, None],
+                    det_boxes_h[bi],
+                    det_cls_h[bi][:, None].astype(np.float32),
+                    det_scores_h[bi][:, None],
                 ],
                 axis=1,
             )
-            boxes_px, cls, scores_v, valid = unmold_detections(
-                det_row,
-                jnp.asarray(windows[bi]),
-                (d, d),
-                jnp.asarray(shapes[bi]),
+            boxes_px, cls, scores_v, valid = unmold_detections_np(
+                det_row, windows[bi], (d, d), shapes[bi]
             )
-            valid = np.asarray(valid)
             gt_boxes, gt_classes = dataset.annotations(img_id)
             crowd_boxes, crowd_classes = dataset.crowd_regions(img_id)
             ev.add_image(

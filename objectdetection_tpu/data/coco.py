@@ -115,7 +115,9 @@ class CocoDataset:
         return np.asarray(boxes, np.float32), np.asarray(ids, np.int32)
 
     def masks(self, image_id: int) -> Optional[np.ndarray]:
-        """[H, W, N] instance masks, or None if pycocotools is unavailable."""
+        """[H, W, N] instance masks ALIGNED with :meth:`annotations` rows
+        (same filtering; instances without a segmentation get an all-zero
+        column). None only when pycocotools is unavailable."""
         try:
             from pycocotools import mask as mask_utils
         except ImportError:
@@ -124,8 +126,12 @@ class CocoDataset:
         h, w = info["height"], info["width"]
         out = []
         for a in self._anns.get(image_id, []):
+            bx, by, bw, bh = a["bbox"]
+            if bw <= 0 or bh <= 0:  # same filter as annotations()
+                continue
             seg = a.get("segmentation")
-            if seg is None:
+            if not seg:
+                out.append(np.zeros((h, w), np.uint8))
                 continue
             if isinstance(seg, list):
                 rles = mask_utils.frPyObjects(seg, h, w)
@@ -134,7 +140,7 @@ class CocoDataset:
                 rle = mask_utils.frPyObjects(seg, h, w)
             out.append(mask_utils.decode(rle))
         if not out:
-            return None
+            return np.zeros((h, w, 0), bool)
         return np.stack(out, axis=-1).astype(bool)
 
 

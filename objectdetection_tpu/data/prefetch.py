@@ -32,6 +32,7 @@ class Prefetcher:
         depth: int = 2,
     ):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = False
         self._make = make_batch
         self._num_steps = num_steps
         self._stop = threading.Event()
@@ -66,8 +67,13 @@ class Prefetcher:
                     continue
 
     def get(self, timeout: float = 300.0):
+        if self._done:  # repeated get() after exhaustion: fail fast
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
         item = self._q.get(timeout=timeout)
         if item is self._SENTINEL:
+            self._done = True
             if self._error is not None:
                 raise self._error
             raise StopIteration

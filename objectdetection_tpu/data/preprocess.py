@@ -232,6 +232,37 @@ def unmold_detections(
     return pix, class_ids, scores, valid
 
 
+def unmold_detections_np(
+    detections: np.ndarray,
+    window: np.ndarray,
+    image_shape: Tuple[int, int],
+    original_shape,
+):
+    """Host numpy mirror of :func:`unmold_detections` (same math, no device
+    dispatches) for eval loops that postprocess per image on the host."""
+    detections = np.asarray(detections)
+    boxes = detections[:, :4]
+    class_ids = detections[:, 4].astype(np.int32)
+    scores = detections[:, 5]
+
+    h, w = image_shape
+    nwin = (np.asarray(window, np.float64) - np.array([0, 0, 1, 1])) / np.array(
+        [h - 1, w - 1, h - 1, w - 1]
+    )
+    wy1, wx1, wy2, wx2 = nwin
+    shift = np.array([wy1, wx1, wy1, wx1])
+    scale = np.array([wy2 - wy1, wx2 - wx1, wy2 - wy1, wx2 - wx1])
+    boxes = (boxes - shift) / scale
+
+    oh, ow = float(original_shape[0]), float(original_shape[1])
+    pix = np.around(
+        boxes * np.array([oh - 1, ow - 1, oh - 1, ow - 1]) + np.array([0, 0, 1, 1])
+    ).astype(np.int32)
+    area = (pix[:, 2] - pix[:, 0]) * (pix[:, 3] - pix[:, 1])
+    valid = (class_ids > 0) & (area > 0)
+    return pix, class_ids, scores, valid
+
+
 def unmold_masks(
     masks: Array,
     detections: Array,

@@ -1,9 +1,9 @@
 """Minimal inference server (stdlib HTTP, JSON detections).
 
 The framework's serving entry point: POST an image, get boxes / classes /
-scores (and optional masks as run-length counts) back. Stateless, one
-warm jitted program, batch-of-one per request (batching across requests is a
-front-end concern).
+scores back as JSON (box path; masks are an inference-API feature, not
+exposed over HTTP). Stateless, one warm jitted program, batch-of-one per
+request (batching across requests is a front-end concern).
 
     odtpu serve --port 8000 [--weights mask_rcnn_coco.h5]
     curl -s --data-binary @photo.jpg localhost:8000/detect | jq .
@@ -123,6 +123,8 @@ def serve(
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
     if weights:
         variables = checkpoint.load_matterport_h5(weights, variables)
+    # serving is inference-only: pre-cast weights to the compute dtype once
+    variables = checkpoint.cast_params_for_inference(variables)
     infer_fn = detector.make_infer_fn(cfg, with_masks=False)
 
     # warm the compile before accepting traffic

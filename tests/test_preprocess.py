@@ -114,6 +114,53 @@ class TestUnmold:
         assert not np.asarray(valid).any()
 
 
+class TestBatchedMold:
+    def test_mold_batch_device_matches_single(self):
+        rng = np.random.RandomState(2)
+        canvases = np.zeros((2, 128, 128, 3), np.float32)
+        shapes = np.array([[64, 96], [100, 80]], np.int32)
+        for i, (h0, w0) in enumerate(shapes):
+            canvases[i, :h0, :w0] = rng.rand(h0, w0, 3) * 255
+
+        from objectdetection_tpu.data.preprocess import mold_batch_device
+
+        molded, meta = jax.jit(
+            lambda c, s: mold_batch_device(c, s, CFG)
+        )(jnp.asarray(canvases), jnp.asarray(shapes))
+        assert molded.shape == (2, 128, 128, 3)
+        assert meta.window.shape == (2, 4)
+        for i in range(2):
+            m1, w1, s1 = mold_image_device(
+                jnp.asarray(canvases[i]), jnp.asarray(shapes[i]), CFG
+            )
+            np.testing.assert_allclose(
+                np.asarray(molded[i]), np.asarray(m1), atol=1e-2
+            )
+            np.testing.assert_allclose(
+                np.asarray(meta.window[i]), np.asarray(w1), atol=1e-4
+            )
+        vec = np.asarray(meta.to_vector())
+        assert vec.shape == (2, 12 + CFG.num_classes)
+
+
+class TestUnmoldNp:
+    def test_matches_device_unmold(self):
+        from objectdetection_tpu.data.preprocess import unmold_detections_np
+
+        rng = np.random.RandomState(3)
+        det = np.zeros((6, 6), np.float32)
+        det[:4, :4] = np.sort(rng.rand(4, 2, 2), axis=1).transpose(0, 2, 1).reshape(4, 4)
+        det[:4, 4] = [1, 2, 3, 1]
+        det[:4, 5] = rng.rand(4) * 0.5 + 0.5
+        window = np.array([14.0, 1.0, 114.0, 126.0], np.float32)
+        b1, c1, s1, v1 = unmold_detections(
+            jnp.asarray(det), jnp.asarray(window), (128, 128), jnp.asarray([64, 80])
+        )
+        b2, c2, s2, v2 = unmold_detections_np(det, window, (128, 128), [64, 80])
+        np.testing.assert_array_equal(np.asarray(b1), b2)
+        np.testing.assert_array_equal(np.asarray(v1), v2)
+
+
 class TestImageMeta:
     def test_vector_layout(self):
         meta = ImageMeta(
