@@ -130,3 +130,66 @@ def make_parallel_train_step(
 def replicate_state(state, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+
+# ---------------------------------------------------------------------------
+# Optional tensor parallelism over a `model` axis
+# ---------------------------------------------------------------------------
+
+
+def make_dp_tp_mesh(dp: int, tp: int) -> Mesh:
+    """2-D mesh: batch over `data`, large head matmuls over `model`."""
+    devices = jax.devices()[: dp * tp]
+    return Mesh(np.array(devices).reshape(dp, tp), ("data", "model"))
+
+
+def shard_state_tp(state, mesh: Mesh, min_dim: int = 512):
+    """Place a train state with large dense kernels sharded over `model`.
+
+    The sharding rule: any float param whose last dim is ≥ `min_dim` and
+    divisible by the model-axis size is split on that dim (the box head's
+    [12544, 1024] / [1024, 1024] matmuls and the widest backbone kernels);
+    everything else is replicated. Optimizer state follows automatically
+    because optax momenta mirror the param tree structure.
+
+    Placement is by `device_put`; the jitted step is compiled with inferred
+    shardings ("computation follows data"), so XLA inserts the tensor-
+    parallel collectives without any model-code changes.
+    """
+    tp = mesh.shape["model"]
+
+    def place(x):
+        if (
+            hasattr(x, "ndim")
+            and x.ndim >= 2
+            and hasattr(x, "dtype")
+            and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.shape[-1] >= min_dim
+            and x.shape[-1] % tp == 0
+        ):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, state)
+
+
+def make_tp_train_step(config: DetectorConfig, mesh: Mesh, with_masks: bool = False):
+    """dp×tp train step: batch sharded over `data`, heavy matmuls over
+    `model`; shardings inferred from the placed inputs."""
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, rng):
+        return detector_lib.train_step(state, batch, rng, config, with_masks)
+
+    def run(state, batch, rng):
+        batch = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), sh) if x is not None else None,
+            batch,
+            is_leaf=lambda x: x is None,
+        )
+        return step(state, batch, jax.device_put(rng, rep))
+
+    return run
