@@ -90,6 +90,9 @@ class DetectorConfig:
     conv1_space_to_depth: bool = False
     # rematerialize backbone blocks in backward (memory for FLOPs, training)
     remat_backbone: bool = False
+    # approx_max_k for proposal pre-NMS selection (recall≈0.98, ~1.4ms/batch
+    # faster); off by default for exact reference parity
+    use_approx_topk: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

@@ -48,14 +48,24 @@ def proposal_layer(
     scores = rpn_probs[..., 1]  # [B, A] foreground
     deltas = rpn_deltas * stddev  # proposals_tf.py:157
 
+    use_approx = getattr(config, "use_approx_topk", False)
+
     def per_image(scores_i, deltas_i):
-        top_scores, ix = jax.lax.top_k(scores_i, pre_nms)  # sorted desc
+        if use_approx:
+            # recall≈0.98 of the true top 6000 — opt-in speed/parity trade
+            top_scores, ix = jax.lax.approx_max_k(
+                scores_i, pre_nms, recall_target=0.98
+            )
+        else:
+            top_scores, ix = jax.lax.top_k(scores_i, pre_nms)
+        # both emit descending-score order, so NMS can skip its sort
         top_deltas = jnp.take(deltas_i, ix, axis=0)
         top_anchors = jnp.take(anchors, ix, axis=0)
         boxes = apply_box_deltas(top_anchors, top_deltas)
         boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
         return nms_boxes(
-            boxes, top_scores, post_nms, config.rpn_nms_threshold
+            boxes, top_scores, post_nms, config.rpn_nms_threshold,
+            assume_sorted=True,
         )
 
     return jax.vmap(per_image)(scores, deltas)

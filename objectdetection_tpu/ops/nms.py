@@ -106,6 +106,7 @@ def non_max_suppression(
     class_ids: Optional[Array] = None,
     tile_size: int = 512,
     backend: Optional[str] = None,
+    assume_sorted: bool = False,
 ) -> NMSResult:
     """Greedy NMS over [N, 4] boxes with [N] scores.
 
@@ -119,6 +120,8 @@ def non_max_suppression(
       class_ids: optional [N] int — restrict suppression to equal ids
         (per-class NMS in one pass).
       tile_size: suppression tile width.
+      assume_sorted: inputs are already in descending-score order (e.g. they
+        came out of `lax.top_k`) — skips the internal sort.
 
     Returns:
       NMSResult(indices [max_output] int32 (-1 pad), valid [max_output] bool).
@@ -133,11 +136,17 @@ def non_max_suppression(
     neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
     scores = jnp.where(valid, scores, neg_inf)
 
-    # Sort descending by score; invalid boxes sink to the end.
-    order = jnp.argsort(-scores)
-    sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
-    svalid = jnp.take(valid, order)
-    sclass = jnp.take(class_ids, order)
+    if assume_sorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        sboxes = boxes.astype(jnp.float32)
+        svalid = valid
+        sclass = class_ids
+    else:
+        # Sort descending by score; invalid boxes sink to the end.
+        order = jnp.argsort(-scores)
+        sboxes = jnp.take(boxes, order, axis=0).astype(jnp.float32)
+        svalid = jnp.take(valid, order)
+        sclass = jnp.take(class_ids, order)
 
     # Invalid boxes are zeroed: zero-area boxes have IoU 0 with everything so
     # they neither suppress nor survive.
@@ -217,6 +226,7 @@ def nms_boxes(
     valid: Optional[Array] = None,
     tile_size: int = 512,
     backend: Optional[str] = None,
+    assume_sorted: bool = False,
 ) -> Array:
     """NMS returning the kept boxes zero-padded to [max_output, 4].
 
@@ -225,7 +235,7 @@ def nms_boxes(
     """
     res = non_max_suppression(
         boxes, scores, max_output, iou_threshold, valid=valid,
-        tile_size=tile_size, backend=backend,
+        tile_size=tile_size, backend=backend, assume_sorted=assume_sorted,
     )
     gathered = jnp.take(boxes, jnp.maximum(res.indices, 0), axis=0)
     return jnp.where(res.valid[:, None], gathered, 0.0)
