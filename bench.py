@@ -22,6 +22,12 @@ def main():
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--image-size", type=int, default=1024)
     p.add_argument("--no-masks", action="store_true")
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="int8 PTQ inference (quant.py): backbone/FPN/RPN convs on the "
+        "MXU int8 path, calibrated on a random batch before timing",
+    )
     args = p.parse_args()
 
     import jax
@@ -35,6 +41,7 @@ def main():
         backbone=args.backbone,
         image_shape=(args.image_size, args.image_size, 3),
         image_max_dim=args.image_size,
+        quantized_inference=args.int8,
     )
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -56,6 +63,13 @@ def main():
         ),
         (args.batch, 1),
     )
+
+    if args.int8:
+        from objectdetection_tpu import quant
+
+        t0 = time.time()
+        variables = quant.calibrate_variables(variables, images, cfg)
+        print(f"int8 calibration: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # Timing methodology: this box reaches the TPU through a relay where
     # block_until_ready is a no-op and every dispatch costs ~40 ms, so we

@@ -93,6 +93,10 @@ class DetectorConfig:
     # approx_max_k for proposal pre-NMS selection (recall≈0.98, ~1.4ms/batch
     # faster); off by default for exact reference parity
     use_approx_topk: bool = False
+    # int8 post-training-quantized inference: backbone/FPN/RPN convs run on
+    # the MXU's int8 path (2x bf16 rate, half the HBM traffic). Requires
+    # calibration via quant.calibrate_variables; inference only. See quant.py.
+    quantized_inference: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from objectdetection_tpu.quant import (
+    conv_factory,
+    dequantize_act,
+    quantize_act,
+    weight_qparams,
+)
+
 
 class FrozenBatchNorm(nn.Module):
     """Inference-mode batch norm: y = gamma * (x - mean) / sqrt(var + eps) + beta.
@@ -61,42 +68,68 @@ class BottleneckBlock(nn.Module):
     stage: int = 2
     block: str = "a"
     dtype: Any = jnp.float32
+    quantized: bool = False  # int8 conv path (inference PTQ, see quant.py)
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x):
+        """x: float [B,H,W,C] — or, on the int8 inference path, a carried
+        ``(int8 tensor, scale)`` pair. Returns the same kind it was given.
+
+        The int8-carried residual stream is the key to the quantized
+        backbone's bandwidth win: block inputs/outputs and the shortcut all
+        materialize as int8 (the dequant rides the conv epilogue fusions);
+        nothing in a stage's steady state touches HBM at more than 1 B/elt.
+        """
         f1, f2, f3 = self.filters
-        conv = lambda f, k, s, name: nn.Conv(
-            f,
-            (k, k),
-            strides=(s, s),
-            padding="SAME",
-            name=name,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
+        make_conv = conv_factory(self.quantized, self.dtype)
+        conv = lambda f, k, s, name: make_conv(
+            f, (k, k), strides=(s, s), padding="SAME", name=name
         )
         bn = lambda name: FrozenBatchNorm(name=name, dtype=self.dtype)
         cn = f"res{self.stage}{self.block}_branch"
         bnn = f"bn{self.stage}{self.block}_branch"
+        bn2c = FrozenBatchNorm(
+            # zero-gamma init on the residual's last BN: blocks start as
+            # identity, keeping from-scratch activations bounded (loaded
+            # checkpoints overwrite the scale). Standard ResNet practice.
+            name=bnn + "2c", dtype=self.dtype,
+            scale_init=nn.initializers.zeros,
+        )
+        if self.quantized:
+            out_scale = self.variable(
+                "quant", "out_scale", lambda: jnp.zeros((), jnp.float32)
+            )
 
-        if self.projection:
-            shortcut = conv(f3, 1, self.stride, cn + "1")(x)
-            shortcut = bn(bnn + "1")(shortcut)
+        int8_stream = self.quantized and not self.is_mutable_collection("quant")
+        if int8_stream:
+            x8, sx = x
+            if self.projection:
+                shortcut = bn(bnn + "1")(
+                    conv(f3, 1, self.stride, cn + "1")(x8, in_scale=sx)
+                )
+            else:
+                shortcut = dequantize_act(x8, sx, self.dtype)
+            y = conv(f1, 1, self.stride, cn + "2a")(x8, in_scale=sx)
         else:
-            shortcut = x
+            if self.projection:
+                shortcut = bn(bnn + "1")(conv(f3, 1, self.stride, cn + "1")(x))
+            else:
+                shortcut = x
+            y = conv(f1, 1, self.stride, cn + "2a")(x)
 
-        y = conv(f1, 1, self.stride, cn + "2a")(x)
         y = nn.relu(bn(bnn + "2a")(y))
         y = conv(f2, 3, 1, cn + "2b")(y)
         y = nn.relu(bn(bnn + "2b")(y))
         y = conv(f3, 1, 1, cn + "2c")(y)
-        # zero-gamma init on the residual's last BN: blocks start as identity,
-        # keeping from-scratch activations bounded (loaded checkpoints
-        # overwrite the scale). Standard ResNet trainability practice.
-        y = FrozenBatchNorm(
-            name=bnn + "2c", dtype=self.dtype,
-            scale_init=nn.initializers.zeros,
-        )(y)
-        return nn.relu(y + shortcut)
+        out = nn.relu(bn2c(y) + shortcut)
+
+        if int8_stream:
+            return quantize_act(out, out_scale.value), out_scale.value
+        if self.quantized:  # calibration pass: record the block-output range
+            out_scale.value = jnp.maximum(
+                out_scale.value, jnp.max(jnp.abs(out.astype(jnp.float32)))
+            )
+        return out
 
 
 # identity blocks after the stage-4 conv block (fpn.py:200-202)
@@ -113,6 +146,7 @@ class Stage1Conv(nn.Module):
 
     space_to_depth: bool = False
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -122,10 +156,31 @@ class Stage1Conv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (64,), jnp.float32)
         dt = self.dtype
+        if self.quantized:
+            act_scale = self.variable(
+                "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            )
         x = x.astype(dt)
         kernel = kernel.astype(dt)
 
         if not self.space_to_depth or h % 2 or w % 2:
+            if self.quantized and not self.is_mutable_collection("quant"):
+                # int8 stem: mean-subtracted pixels are naturally int8-ranged
+                x8 = quantize_act(x, act_scale.value)
+                k8, sw = weight_qparams(kernel)
+                y32 = jax.lax.conv_general_dilated(
+                    x8, k8, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (
+                    y32.astype(jnp.float32) * (act_scale.value / 127.0 * sw)
+                ).astype(dt)
+                return y + bias.astype(dt)
+            if self.quantized:  # calibration pass
+                act_scale.value = jnp.maximum(
+                    act_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
             # pad inside the conv op — an explicit jnp.pad of the full-res
             # input is a separate 100MB+ copy kernel (measured ~3ms/batch-8)
             y = jax.lax.conv_general_dilated(
@@ -171,6 +226,7 @@ class ResNetBottomUp(nn.Module):
     dtype: Any = jnp.float32
     conv1_space_to_depth: bool = False
     remat: bool = False  # rematerialize blocks in the backward pass
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -186,10 +242,24 @@ class ResNetBottomUp(nn.Module):
         # input — mathematically identical output, checkpoint layout
         # unchanged (conv1/kernel stays [7,7,3,64]).
         x = Stage1Conv(
-            space_to_depth=self.conv1_space_to_depth, dtype=dt, name="conv1"
+            space_to_depth=self.conv1_space_to_depth, dtype=dt,
+            quantized=self.quantized, name="conv1",
         )(x)
         x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=dt)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+
+        if self.quantized:
+            c1_scale = self.variable(
+                "quant", "c1_out_scale", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("quant"):  # calibration
+                c1_scale.value = jnp.maximum(
+                    c1_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            else:
+                # enter the int8-carried stream: stages pass (int8, scale)
+                # pairs between blocks (see BottleneckBlock docstring)
+                x = (quantize_act(x, c1_scale.value), c1_scale.value)
 
         # jax.checkpoint per block trades FLOPs for activation memory when
         # training at 1024² (SURVEY.md: remat is the TPU-native lever here)
@@ -199,13 +269,13 @@ class ResNetBottomUp(nn.Module):
             x = block_cls(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
-                name=f"res{stage_idx}a",
+                quantized=self.quantized, name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
                 x = block_cls(
                     filters, stage=stage_idx, block=blk, dtype=dt,
-                    name=f"res{stage_idx}{blk}",
+                    quantized=self.quantized, name=f"res{stage_idx}{blk}",
                 )(x)
             return x
 
@@ -235,6 +305,7 @@ class ResNetFPN(nn.Module):
     dtype: Any = jnp.float32
     conv1_space_to_depth: bool = False
     remat: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -242,21 +313,25 @@ class ResNetFPN(nn.Module):
         c2, c3, c4, c5 = ResNetBottomUp(
             model=self.model, dtype=dt,
             conv1_space_to_depth=self.conv1_space_to_depth,
-            remat=self.remat, name="resnet",
+            remat=self.remat, quantized=self.quantized, name="resnet",
         )(images)
 
-        lat = lambda name: nn.Conv(
-            self.channels, (1, 1), name=name, dtype=dt, param_dtype=jnp.float32
+        make_conv = conv_factory(self.quantized, dt)
+        out = lambda name: make_conv(
+            self.channels, (3, 3), padding="SAME", name=name
         )
-        out = lambda name: nn.Conv(
-            self.channels, (3, 3), padding="SAME", name=name,
-            dtype=dt, param_dtype=jnp.float32,
-        )
+        if self.quantized and not self.is_mutable_collection("quant"):
+            # stages emitted (int8, scale) pairs — laterals consume directly
+            lat = lambda name, c: make_conv(self.channels, (1, 1), name=name)(
+                c[0], in_scale=c[1]
+            )
+        else:
+            lat = lambda name, c: make_conv(self.channels, (1, 1), name=name)(c)
 
-        m5 = lat("fpn_c5p5")(c5)
-        m4 = upsample2x_nearest(m5) + lat("fpn_c4p4")(c4)
-        m3 = upsample2x_nearest(m4) + lat("fpn_c3p3")(c3)
-        m2 = upsample2x_nearest(m3) + lat("fpn_c2p2")(c2)
+        m5 = lat("fpn_c5p5", c5)
+        m4 = upsample2x_nearest(m5) + lat("fpn_c4p4", c4)
+        m3 = upsample2x_nearest(m4) + lat("fpn_c3p3", c3)
+        m2 = upsample2x_nearest(m3) + lat("fpn_c2p2", c2)
 
         p2 = out("fpn_p2")(m2)
         p3 = out("fpn_p3")(m3)

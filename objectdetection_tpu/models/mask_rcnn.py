@@ -31,12 +31,14 @@ class MaskRCNN(nn.Module):
         self.backbone = ResNetFPN(
             model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt,
             conv1_space_to_depth=cfg.conv1_space_to_depth,
-            remat=cfg.remat_backbone, name="fpn",
+            remat=cfg.remat_backbone, quantized=cfg.quantized_inference,
+            name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,
             anchor_stride=cfg.rpn_anchor_stride,
             dtype=dt,
+            quantized=cfg.quantized_inference,
             name="rpn_model",
         )
         self.box_head = BoxClassHead(

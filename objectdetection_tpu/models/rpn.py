@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from objectdetection_tpu.quant import conv_factory
+
 
 class RPNHead(nn.Module):
     anchors_per_location: int = 3
     anchor_stride: int = 1
     channels: int = 512
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, feature_maps: Sequence[Array]) -> Tuple[Array, Array, Array]:
@@ -33,20 +36,20 @@ class RPNHead(nn.Module):
 
         Returns logits [B, A, 2], probs [B, A, 2], deltas [B, A, 4] with
         A = Σ_l H_l·W_l·k in pyramid order.
+
+        When quantized, each shared-weight conv also shares ONE activation
+        scale across levels (calibration max-reduces over all level calls).
         """
         k = self.anchors_per_location
         s = self.anchor_stride
         dt = self.dtype
-        shared_conv = nn.Conv(
+        make_conv = conv_factory(self.quantized, dt)
+        shared_conv = make_conv(
             self.channels, (3, 3), strides=(s, s), padding="SAME",
-            name="rpn_conv_shared", dtype=dt, param_dtype=jnp.float32,
+            name="rpn_conv_shared",
         )
-        class_conv = nn.Conv(
-            2 * k, (1, 1), name="rpn_class_raw", dtype=dt, param_dtype=jnp.float32
-        )
-        bbox_conv = nn.Conv(
-            4 * k, (1, 1), name="rpn_bbox_pred", dtype=dt, param_dtype=jnp.float32
-        )
+        class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw")
+        bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred")
 
         logits_all: List[Array] = []
         deltas_all: List[Array] = []

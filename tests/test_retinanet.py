@@ -91,7 +91,7 @@ class TestEndToEnd:
         params = jax.tree.map(jnp.copy, variables["params"])
         state = (
             params,
-            variables.get("batch_stats", {}),
+            jax.tree.map(jnp.copy, variables.get("batch_stats", {})),
             tx.init(params),
             jnp.zeros((), jnp.int32),
         )
