@@ -69,7 +69,8 @@ def main():
 
         t0 = time.time()
         variables = quant.calibrate_variables(variables, images, cfg)
-        print(f"int8 calibration: {time.time() - t0:.1f}s", file=sys.stderr)
+        variables = quant.freeze_weights(variables)
+        print(f"int8 calibration+freeze: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # Timing methodology: this box reaches the TPU through a relay where
     # block_until_ready is a no-op and every dispatch costs ~40 ms, so we

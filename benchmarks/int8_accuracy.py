@@ -1,0 +1,84 @@
+"""Int8 PTQ accuracy validation: float vs int8 mAP on a trained shapes model.
+
+Loads an orbax checkpoint produced by `odtpu train --ckpt DIR --masks`,
+calibrates + freezes the int8 path on a calibration batch, and reports held-out
+box/mask mAP@0.5 for the float and quantized inference paths side by side.
+
+Usage:
+    odtpu train --steps 3000 --batch 8 --masks --lr 0.003 \
+        --lr-schedule warmup_cosine --ckpt /tmp/shapes_ckpt
+    python benchmarks/int8_accuracy.py --ckpt /tmp/shapes_ckpt
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    p.add_argument("--images", type=int, default=64, help="held-out eval images")
+    p.add_argument("--calib-images", type=int, default=16)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--score-threshold", type=float, default=0.5)
+    args = p.parse_args()
+
+    from objectdetection_tpu import checkpoint, detector, quant
+    from objectdetection_tpu.cli import evaluate_on_shapes
+    from objectdetection_tpu.config import SHAPES_CONFIG
+    from objectdetection_tpu.data.shapes import ShapesDataset
+
+    cfg = SHAPES_CONFIG
+    state = detector.create_train_state(cfg, jax.random.PRNGKey(0))
+    state = checkpoint.load_checkpoint(args.ckpt, state)
+    print(f"restored step {int(state.step)}", file=sys.stderr)
+    float_vars = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ds = ShapesDataset(args.images, 128, 128, seed=args.seed + 1000)
+    calib_ds = ShapesDataset(args.calib_images, 128, 128, seed=args.seed + 2000)
+    eval_ids = list(range(args.images))
+
+    # --- float eval ---
+    res_f = evaluate_on_shapes(
+        float_vars, cfg, ds, eval_ids,
+        score_threshold=args.score_threshold, with_masks=True,
+    )
+
+    # --- calibrate + freeze + int8 eval ---
+    cfg_q = cfg.replace(quantized_inference=True)
+    # init with the quantized model to get the quant collection skeleton,
+    # then graft the trained float params/batch_stats on top
+    qskel = detector.init_variables(cfg_q, jax.random.PRNGKey(0))
+    calib = calib_ds.load_batch(list(range(args.calib_images)), cfg_q)
+    qvars = quant.calibrate_variables(
+        {**float_vars, "quant": qskel["quant"]},
+        jnp.asarray(calib.images), cfg_q,
+        batch_size=8,
+    )
+    qvars = quant.freeze_weights(qvars)
+    res_q = evaluate_on_shapes(
+        qvars, cfg_q, ds, eval_ids,
+        score_threshold=args.score_threshold, with_masks=True,
+    )
+
+    out = {
+        "float": {"box_mAP@0.5": res_f["mAP"], "mask_mAP@0.5": res_f["mask_mAP"]},
+        "int8": {"box_mAP@0.5": res_q["mAP"], "mask_mAP@0.5": res_q["mask_mAP"]},
+        "delta": {
+            "box": res_q["mAP"] - res_f["mAP"],
+            "mask": res_q["mask_mAP"] - res_f["mask_mAP"],
+        },
+    }
+    print(json.dumps(out, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,14 +160,27 @@ class Stage1Conv(nn.Module):
             act_scale = self.variable(
                 "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
             )
+            kernel_scale = self.variable(
+                "quant", "kernel_scale", lambda: jnp.ones((64,), jnp.float32)
+            )
         x = x.astype(dt)
-        kernel = kernel.astype(dt)
+        frozen = self.quantized and kernel.dtype == jnp.int8
+        if frozen:
+            assert not (self.space_to_depth and h % 2 == 0 and w % 2 == 0), (
+                "frozen int8 weights are not supported with the "
+                "space-to-depth stem (off by default)"
+            )
 
         if not self.space_to_depth or h % 2 or w % 2:
             if self.quantized and not self.is_mutable_collection("quant"):
-                # int8 stem: mean-subtracted pixels are naturally int8-ranged
+                # int8 stem: mean-subtracted pixels are naturally int8-ranged.
+                # Quantize from the float32 param (NOT a dt-cast copy) so the
+                # result is bit-identical to quant.freeze_weights.
                 x8 = quantize_act(x, act_scale.value)
-                k8, sw = weight_qparams(kernel)
+                if frozen:
+                    k8, sw = kernel, kernel_scale.value
+                else:
+                    k8, sw = weight_qparams(kernel)
                 y32 = jax.lax.conv_general_dilated(
                     x8, k8, window_strides=(2, 2), padding=((3, 3), (3, 3)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -184,7 +197,8 @@ class Stage1Conv(nn.Module):
             # pad inside the conv op — an explicit jnp.pad of the full-res
             # input is a separate 100MB+ copy kernel (measured ~3ms/batch-8)
             y = jax.lax.conv_general_dilated(
-                x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                x, kernel.astype(dt), window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(dt)
@@ -193,7 +207,9 @@ class Stage1Conv(nn.Module):
         #        = Σ_{k=0..7} x[2i + k - 4] · w8[k],  w8 = [0, w]
         # With 2x2 blocks y[j] = (x[2j], x[2j+1]):
         #   out[i] = Σ_{j=0..3} y[i - 2 + j] · K[j],  K[j] = (w8[2j], w8[2j+1])
-        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,C,64]
+        k8 = jnp.pad(
+            kernel.astype(dt), ((1, 0), (1, 0), (0, 0), (0, 0))
+        )  # [8,8,C,64]
         k4 = (
             k8.reshape(4, 2, 8, cin, 64)  # [jy, dy, kx, c, o]
             .transpose(0, 2, 1, 3, 4)  # [jy, kx, dy, c, o]

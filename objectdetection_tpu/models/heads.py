@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from objectdetection_tpu.models.backbone import FrozenBatchNorm
+from objectdetection_tpu.quant import conv_factory, dense_factory
 
 
 class BoxClassHead(nn.Module):
@@ -30,19 +31,21 @@ class BoxClassHead(nn.Module):
 
     num_classes: int
     dtype: Any = jnp.float32
+    quantized: bool = False  # int8 matmuls for the two 1024-wide FC layers
 
     @nn.compact
     def __call__(self, pooled: Array) -> Tuple[Array, Array, Array]:
         """pooled: [B, R, ph, pw, C] → ([B,R,num_classes] ×2, [B,R,num_classes,4])."""
         b, r, ph, pw, c = pooled.shape
         dt = self.dtype
+        make_dense = dense_factory(self.quantized, dt)
         x = pooled.reshape(b, r, ph * pw * c).astype(dt)
 
         # 7x7 VALID conv == dense over the flattened ROI (mrcnn_class_conv1)
-        x = nn.Dense(1024, name="mrcnn_class_conv1", dtype=dt, param_dtype=jnp.float32)(x)
+        x = make_dense(1024, name="mrcnn_class_conv1")(x)
         x = nn.relu(FrozenBatchNorm(name="mrcnn_class_bn1", dtype=dt)(x))
         # 1x1 conv == dense (mrcnn_class_conv2)
-        x = nn.Dense(1024, name="mrcnn_class_conv2", dtype=dt, param_dtype=jnp.float32)(x)
+        x = make_dense(1024, name="mrcnn_class_conv2")(x)
         shared = nn.relu(FrozenBatchNorm(name="mrcnn_class_bn2", dtype=dt)(x))
 
         logits = nn.Dense(
@@ -69,17 +72,18 @@ class MaskHead(nn.Module):
     num_classes: int
     channels: int = 256
     dtype: Any = jnp.float32
+    quantized: bool = False  # int8 path for the 4 trunk convs
 
     @nn.compact
     def __call__(self, pooled: Array) -> Array:
         b, r, ph, pw, c = pooled.shape
         dt = self.dtype
+        make_conv = conv_factory(self.quantized, dt)
         x = pooled.reshape(b * r, ph, pw, c).astype(dt)
 
         for i in range(1, 5):
-            x = nn.Conv(
-                self.channels, (3, 3), padding="SAME",
-                name=f"mrcnn_mask_conv{i}", dtype=dt, param_dtype=jnp.float32,
+            x = make_conv(
+                self.channels, (3, 3), padding="SAME", name=f"mrcnn_mask_conv{i}"
             )(x)
             x = nn.relu(FrozenBatchNorm(name=f"mrcnn_mask_bn{i}", dtype=dt)(x))
 

