@@ -4,7 +4,8 @@ CLAUDE.md records the gather engine as row-rate-bound (~170M rows/s) at
 512 B rows. If the row rate holds at 1-4 KB rows, packing 2x2 bilinear
 corner blocks into one 4C-wide row would cut ROIAlign's gather time ~4x.
 This probe measures rows/s for 256..2048-channel bf16 tables at a fixed
-total byte volume.
+total byte volume. Tables are generated ON DEVICE (host->relay transfer of
+GB-scale arrays takes minutes).
 """
 
 import os
@@ -19,28 +20,31 @@ import numpy as np
 
 
 def main():
-    print(f"devices: {jax.devices()}", file=sys.stderr)
-    rng = np.random.RandomState(0)
-    total_rows_bytes = 512 * 6_000_000  # ~3 GB gathered per case
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    total_rows_bytes = 512 * 3_000_000  # ~1.5 GB gathered per iteration
 
     for chans, dt in [
-        (256, jnp.int8),
         (256, jnp.bfloat16),
         (512, jnp.bfloat16),
         (1024, jnp.bfloat16),
         (2048, jnp.bfloat16),
         (1024, jnp.int8),
-        (2048, jnp.int8),
     ]:
         row_bytes = chans * jnp.dtype(dt).itemsize
         n_rows = total_rows_bytes // row_bytes
-        table_rows = 2_000_000 * 512 // row_bytes  # ~1 GB table
-        table = jnp.asarray(
-            rng.randint(0, 100, (table_rows, chans)), dtype=dt
-        )
-        idx = jnp.asarray(
-            rng.randint(0, table_rows, n_rows), dtype=jnp.int32
-        )
+        table_rows = 1_000_000 * 512 // row_bytes  # ~0.5 GB table
+
+        @jax.jit
+        def make(key):
+            table = jax.random.normal(
+                key, (table_rows, chans), jnp.float32
+            ).astype(dt)
+            idx = jax.random.randint(
+                jax.random.fold_in(key, 1), (n_rows,), 0, table_rows, jnp.int32
+            )
+            return table, idx
+
+        table, idx = make(jax.random.PRNGKey(0))
 
         @jax.jit
         def run(n, table, idx):

@@ -138,12 +138,13 @@ def main():
     @jax.jit
     def run_masks(n, variables, feats, det):
         det_boxes = det[..., :4]
+        cls = det[..., 4].astype(jnp.int32)
         def body(_, carry):
             boxes, acc = carry
-            mask_probs = model.apply(
-                variables, feats, boxes, method=model.predict_masks
+            masks = model.apply(
+                variables, feats, boxes, cls, method=model.predict_masks
             )
-            acc = acc + jnp.sum(mask_probs[..., 0])
+            acc = acc + jnp.sum(masks[..., 0])
             return boxes + 1e-20 * acc, acc
         return jax.lax.fori_loop(0, n, body, (det_boxes, jnp.float32(0)))[1]
 

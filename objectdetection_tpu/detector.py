@@ -92,13 +92,13 @@ def forward_inference(
     masks = None
     if with_masks:
         det_boxes = det[..., :4]
-        mask_probs = model.apply(
-            variables, feats, det_boxes, method=model.predict_masks
-        )  # [B, N, 28, 28, C]
         cls = det[..., 4].astype(jnp.int32)
-        masks = jnp.take_along_axis(
-            mask_probs, cls[:, :, None, None, None], axis=-1
-        )[..., 0]
+        # class-selected fast path: [B, N, 28, 28] for each ROI's own class
+        # (equivalent to full-class prediction + take_along_axis, without
+        # materializing the [B, N, 28, 28, num_classes] tensor)
+        masks = model.apply(
+            variables, feats, det_boxes, cls, method=model.predict_masks
+        )
 
     result = Detections(
         boxes=det[..., :4],

@@ -62,11 +62,50 @@ class BoxClassHead(nn.Module):
         return logits, probs, bbox
 
 
+class _MaskFinalConv(nn.Module):
+    """The mask head's final per-class 1×1 conv, with a class-selected path.
+
+    Param tree ("kernel" [1, 1, C, num_classes], "bias" [num_classes])
+    matches ``nn.Conv`` so checkpoints are interchangeable. With
+    `class_ids`, only the selected class's 256→1 column is applied per ROI —
+    the full-class output at inference is immediately reduced by
+    `take_along_axis` in the detector, so computing (and materializing,
+    ~813 MB f32 at batch 32) all 81 channels is pure waste.
+    """
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x: Array, class_ids: Array | None = None) -> Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.num_classes),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_classes,), jnp.float32
+        )
+        x = x.astype(jnp.float32)
+        if class_ids is None:
+            return jnp.einsum("nhwc,co->nhwo", x, kernel[0, 0]) + bias
+        # per-ROI column select: [N, C] weights, [N] bias
+        kc = jnp.take(kernel[0, 0].T, class_ids, axis=0)
+        bc = jnp.take(bias, class_ids, axis=0)
+        return (
+            jnp.einsum("nhwc,nc->nhw", x, kc) + bc[:, None, None]
+        )
+
+
 class MaskHead(nn.Module):
     """Pooled ROIs (14²) → per-class sigmoid masks [B, R, 28, 28, num_classes].
 
     Implements the reference's commented spec (masking.py:34-68):
     4× [conv3×3(256)+BN+relu] → deconv2×2 stride 2 (relu) → 1×1 conv sigmoid.
+
+    With `class_ids` [B, R] only the selected class's mask is computed,
+    returning [B, R, 28, 28] (inference fast path).
     """
 
     num_classes: int
@@ -75,7 +114,7 @@ class MaskHead(nn.Module):
     quantized: bool = False  # int8 path for the 4 trunk convs
 
     @nn.compact
-    def __call__(self, pooled: Array) -> Array:
+    def __call__(self, pooled: Array, class_ids: Array | None = None) -> Array:
         b, r, ph, pw, c = pooled.shape
         dt = self.dtype
         make_conv = conv_factory(self.quantized, dt)
@@ -92,9 +131,9 @@ class MaskHead(nn.Module):
             name="mrcnn_mask_deconv", dtype=dt, param_dtype=jnp.float32,
         )(x)
         x = nn.relu(x)
-        x = nn.Conv(
-            self.num_classes, (1, 1), name="mrcnn_mask",
-            dtype=jnp.float32, param_dtype=jnp.float32,
-        )(x)
-        masks = nn.sigmoid(x)
+        final = _MaskFinalConv(num_classes=self.num_classes, name="mrcnn_mask")
+        if class_ids is not None:
+            logits = final(x, class_ids.reshape(b * r))
+            return nn.sigmoid(logits).reshape(b, r, 2 * ph, 2 * pw)
+        masks = nn.sigmoid(final(x))
         return masks.reshape(b, r, 2 * ph, 2 * pw, self.num_classes)

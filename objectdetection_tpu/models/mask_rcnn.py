@@ -69,8 +69,14 @@ class MaskRCNN(nn.Module):
         )
         return self.box_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
 
-    def predict_masks(self, feats: Sequence[Array], rois: Array) -> Array:
-        """ROIAlign 14² + mask head: rois [B, R, 4] → [B, R, 28, 28, C]."""
+    def predict_masks(
+        self, feats: Sequence[Array], rois: Array, class_ids: Array | None = None
+    ) -> Array:
+        """ROIAlign 14² + mask head: rois [B, R, 4] → [B, R, 28, 28, C].
+
+        With `class_ids` [B, R], computes only each ROI's selected-class
+        mask and returns [B, R, 28, 28] (inference fast path).
+        """
         cfg = self.config
         pooled = batched_multilevel_roi_align(
             list(feats[:4]),
@@ -78,7 +84,9 @@ class MaskRCNN(nn.Module):
             tuple(cfg.image_shape[:2]),
             tuple(cfg.mask_pool_shape),
         )
-        return self.mask_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
+        return self.mask_head(
+            pooled.astype(jnp.dtype(cfg.compute_dtype)), class_ids
+        )
 
     def __call__(self, images: Array):
         """Init-friendly pass touching every submodule."""

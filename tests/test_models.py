@@ -137,3 +137,23 @@ class TestHeads:
         assert masks.shape == (1, 6, 28, 28, 4)
         m = np.asarray(masks)
         assert (m >= 0).all() and (m <= 1).all()
+
+    def test_mask_head_class_selected_matches_full(self):
+        # the class_ids fast path == full prediction + take_along_axis
+        head = MaskHead(num_classes=4, dtype=jnp.float32)
+        pooled = jnp.asarray(
+            np.random.RandomState(1).rand(2, 5, 14, 14, 256), jnp.float32
+        )
+        cls = jnp.asarray(
+            np.random.RandomState(2).randint(0, 4, (2, 5)), jnp.int32
+        )
+        variables = head.init(jax.random.PRNGKey(0), pooled)
+        full = head.apply(variables, pooled)  # [2, 5, 28, 28, 4]
+        sel = jnp.take_along_axis(
+            full, cls[:, :, None, None, None], axis=-1
+        )[..., 0]
+        fast = head.apply(variables, pooled, cls)
+        assert fast.shape == (2, 5, 28, 28)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(sel), atol=1e-6
+        )
