@@ -120,7 +120,7 @@ def main():
         def body(_, carry):
             props, acc = carry
             _, probs, bbox = model.apply(
-                variables, feats, props, method=model.classify_rois
+                variables, feats, props, True, method=model.classify_rois
             )
             acc = acc + jnp.sum(probs) + jnp.sum(bbox[..., 0])
             return props + 1e-20 * acc, acc
@@ -142,7 +142,7 @@ def main():
         def body(_, carry):
             boxes, acc = carry
             masks = model.apply(
-                variables, feats, boxes, cls, method=model.predict_masks
+                variables, feats, boxes, cls, True, method=model.predict_masks
             )
             acc = acc + jnp.sum(masks[..., 0])
             return boxes + 1e-20 * acc, acc

@@ -97,6 +97,10 @@ class DetectorConfig:
     # the MXU's int8 path (2x bf16 rate, half the HBM traffic). Requires
     # calibration via quant.calibrate_variables; inference only. See quant.py.
     quantized_inference: bool = False
+    # Pallas patch-DMA ROIAlign on the inference path (TPU only; auto-falls
+    # back to the XLA gather when unsupported — small pyramids, training,
+    # non-TPU backends). See ops/roi_align_pallas.py.
+    pallas_roi_align: bool = True
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

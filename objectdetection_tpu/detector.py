@@ -83,7 +83,7 @@ def forward_inference(
     proposals = proposal_layer(rpn_probs, rpn_deltas, anchors, config, training=False)
 
     _, cls_probs, bbox = model.apply(
-        variables, feats, proposals, method=model.classify_rois
+        variables, feats, proposals, True, method=model.classify_rois
     )
 
     norm_windows = norm_boxes(windows, config.image_shape[:2])
@@ -97,7 +97,7 @@ def forward_inference(
         # (equivalent to full-class prediction + take_along_axis, without
         # materializing the [B, N, 28, 28, num_classes] tensor)
         masks = model.apply(
-            variables, feats, det_boxes, cls, method=model.predict_masks
+            variables, feats, det_boxes, cls, True, method=model.predict_masks
         )
 
     result = Detections(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -18,6 +19,10 @@ from objectdetection_tpu.models.backbone import ResNetFPN
 from objectdetection_tpu.models.heads import BoxClassHead, MaskHead
 from objectdetection_tpu.models.rpn import RPNHead
 from objectdetection_tpu.ops.roi_align import batched_multilevel_roi_align
+from objectdetection_tpu.ops.roi_align_pallas import (
+    batched_multilevel_roi_align_pallas,
+    pallas_roi_align_supported,
+)
 
 
 class MaskRCNN(nn.Module):
@@ -58,19 +63,39 @@ class MaskRCNN(nn.Module):
         logits, probs, deltas = self.rpn(feats)
         return feats, logits, probs, deltas
 
-    def classify_rois(self, feats: Sequence[Array], rois: Array):
+    def _roi_align(self, feats, rois, crop_size, use_pallas: bool):
+        """Pooling dispatch: Pallas patch-DMA kernel on the inference path
+        (TPU, big-enough pyramids), XLA gather otherwise (training — the
+        Pallas call has no JVP — CPU, and small images)."""
+        cfg = self.config
+        feats = list(feats[:4])
+        if (
+            use_pallas
+            and cfg.pallas_roi_align
+            and jax.default_backend() == "tpu"
+            and pallas_roi_align_supported(feats)
+        ):
+            align = batched_multilevel_roi_align_pallas
+        else:
+            align = batched_multilevel_roi_align
+        return align(
+            feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size)
+        )
+
+    def classify_rois(
+        self, feats: Sequence[Array], rois: Array, use_pallas: bool = False
+    ):
         """ROIAlign + box/class head: rois [B, R, 4] → (logits, probs, bbox)."""
         cfg = self.config
-        pooled = batched_multilevel_roi_align(
-            list(feats[:4]),
-            rois,
-            tuple(cfg.image_shape[:2]),
-            tuple(cfg.pool_shape),
-        )
+        pooled = self._roi_align(feats, rois, cfg.pool_shape, use_pallas)
         return self.box_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
 
     def predict_masks(
-        self, feats: Sequence[Array], rois: Array, class_ids: Array | None = None
+        self,
+        feats: Sequence[Array],
+        rois: Array,
+        class_ids: Array | None = None,
+        use_pallas: bool = False,
     ) -> Array:
         """ROIAlign 14² + mask head: rois [B, R, 4] → [B, R, 28, 28, C].
 
@@ -78,11 +103,8 @@ class MaskRCNN(nn.Module):
         mask and returns [B, R, 28, 28] (inference fast path).
         """
         cfg = self.config
-        pooled = batched_multilevel_roi_align(
-            list(feats[:4]),
-            rois,
-            tuple(cfg.image_shape[:2]),
-            tuple(cfg.mask_pool_shape),
+        pooled = self._roi_align(
+            feats, rois, cfg.mask_pool_shape, use_pallas
         )
         return self.mask_head(
             pooled.astype(jnp.dtype(cfg.compute_dtype)), class_ids

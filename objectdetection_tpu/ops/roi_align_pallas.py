@@ -1,0 +1,377 @@
+"""Pallas TPU multilevel ROIAlign: per-ROI patch DMA + bilinear-as-matmul.
+
+The XLA formulation (`ops/roi_align.py`) is bound by the TPU gather engine's
+row RATE (~147M 512B-rows/s measured, and the rate FALLS as rows widen —
+benchmarks/gather_width_probe.py), so batch-32 box pooling costs ~43 ms for
+6.27M single-pixel corner gathers. But each ROI's pool-grid samples live
+inside one small bounding patch of ONE pyramid level, so this kernel instead:
+
+1. DMAs each ROI's bounding patch HBM→VMEM in ONE async copy (double
+   buffered across grid steps; ~390-570 GB/s measured,
+   benchmarks/patch_dma_probe.py),
+2. applies the y-interpolation as a [pool, py] x [py, px*C] MXU matmul
+   (the bilinear weight matrix has the two corner weights per row),
+3. applies the x-interpolation with two dynamic lane-slices of the matmul
+   result per output column (offsets are multiples of C, so always
+   lane-aligned).
+
+Mosaic constraints honored: features are viewed [B, H, W*C] so x-slices are
+lane-dim slices (any pixel offset is x*C, provably 128-divisible); y (the
+sublane dim) offsets are pre-aligned to 8 on the host; no transposes; no
+value-level dynamic slicing (only ref `pl.ds`); patch classes have static
+shapes with `pl.when`-predicated DMAs.
+
+INFERENCE ONLY: `pallas_call` has no JVP rule, and boxes must already be
+clipped to [0, 1] (the proposal/detection layers guarantee this). Training
+paths keep the XLA version.
+
+≙ reference semantics: `tf.image.crop_and_resize` bilinear pooling with the
+FPN level-assignment rule (maskrcnn.py:104-122), identical to
+`batched_multilevel_roi_align` (parity-tested in tests/test_roi_align.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from objectdetection_tpu.ops.roi_align import roi_levels
+
+# Patch classes (py, px): py covers the 8-aligned y-span, px the exact
+# x-span. The FPN assignment rule bounds sqrt(h*w)/stride to [9.9, 19.8]
+# for non-clamped ROIs, but each SIDE scales with sqrt(aspect): at aspect 4
+# a side reaches ~41 level pixels. Four aspect-aware classes cover that
+# envelope (ROIs pick the cheapest fitting patch); top-level-clamped ROIs
+# get a fifth full-top-level class (computed per call). Pathological
+# aspect ratios beyond the envelope fall back to the big class with
+# host-side corner clamping (approximate, never out of bounds).
+_SMALL = (24, 24)
+_WIDE = (24, 44)
+_TALL = (48, 24)
+_BIG = (48, 44)
+_NONTOP_CLASSES = (_SMALL, _WIDE, _TALL, _BIG)
+
+
+def pallas_roi_align_supported(features) -> bool:
+    """Static patch classes need non-top levels >= BIG and a top level that
+    fits the small and full-level classes."""
+    hs = [f.shape[1] for f in features]
+    ws = [f.shape[2] for f in features]
+    return (
+        min(hs[:-1]) >= _BIG[0]
+        and min(ws[:-1]) >= _BIG[1]
+        and hs[-1] >= _SMALL[0]
+        and hs[-1] % 8 == 0
+        and ws[-1] >= _SMALL[1]
+        # x patch offsets are lane offsets x*C — must stay 128-aligned
+        and features[0].shape[-1] % 128 == 0
+    )
+
+
+def _kernel(
+    meta_ref,  # SMEM int32 [1, 1, 8] row g: img, li, cls, y0a/8, x0a
+    next_ref,  # SMEM int32 [1, 1, 8] row g+1 (same table shifted by one row)
+    corners_ref,  # SMEM int32 [1, 1, 4*pool]: y0r | y1r | x0r | x1r (patch-rel)
+    weights_ref,  # SMEM f32 [1, 1, 2*pool]: wy | wx
+    f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
+    out_ref,  # VMEM [1, pool, pool*C]
+    *scratch,
+    pool: int,
+    chans: int,
+    classes,
+    level_dims,
+    compute_dtype,
+):
+    *bufs, m1_ref, wy_ref, sems = scratch
+    feats = (f2, f3, f4, f5)
+    g = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(g, 2)
+
+    top_ci = len(classes) - 1
+
+    def combos():
+        """(lvl, ci) pairs that are both shape-valid and reachable.
+
+        Every emitted branch must be statically shape-valid even when its
+        predicate is false (the copy is traced/compiled either way), so
+        classes larger than a level are skipped; the full-top-level class
+        is only ever selected on the top level.
+        """
+        for lvl, (h, w) in enumerate(level_dims):
+            top = lvl == len(level_dims) - 1
+            for ci, (py, px) in enumerate(classes):
+                if py > h or px > w:
+                    continue
+                if (ci == top_ci) != top and ci == top_ci:
+                    continue  # full-top class only on the top level
+                if top and ci not in (0, top_ci):
+                    continue  # top-level ROIs only use SMALL or full-top
+                yield lvl, ci, py, px
+
+    def dma(ref, slot_, ci_sel, lvl, py, px):
+        img = ref[0, 0, 0]
+        yq = ref[0, 0, 3]
+        x0 = ref[0, 0, 4]
+        return pltpu.make_async_copy(
+            feats[lvl].at[
+                img, pl.ds(yq * 8, py), pl.ds(x0 * chans, px * chans)
+            ],
+            bufs[ci_sel].at[slot_],
+            sems.at[ci_sel, slot_],
+        )
+
+    def start_dma(ref, slot_):
+        li = ref[0, 0, 1]
+        cls = ref[0, 0, 2]
+        for lvl, ci, py, px in combos():
+            @pl.when((li == lvl) & (cls == ci))
+            def _(lvl=lvl, ci=ci, py=py, px=px):
+                dma(ref, slot_, ci, lvl, py, px).start()
+
+    def wait_dma(ref, slot_):
+        li = ref[0, 0, 1]
+        cls = ref[0, 0, 2]
+        for lvl, ci, py, px in combos():
+            @pl.when((li == lvl) & (cls == ci))
+            def _(lvl=lvl, ci=ci, py=py, px=px):
+                dma(ref, slot_, ci, lvl, py, px).wait()
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(meta_ref, 0)
+
+    @pl.when(g + 1 < n)
+    def _():
+        start_dma(next_ref, 1 - slot)
+
+    wait_dma(meta_ref, slot)
+
+    cls = meta_ref[0, 0, 2]
+    for ci, (py, px) in enumerate(classes):
+        @pl.when(cls == ci)
+        def _(ci=ci, py=py, px=px):
+            # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at y1r_p.
+            # (When y0r==y1r — edge clamp — the weights sum to 1, matching
+            # the XLA path's v*(1-w) + v*w == v.)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
+            for p in range(pool):
+                y0 = corners_ref[0, 0, p]
+                y1 = corners_ref[0, 0, pool + p]
+                w = weights_ref[0, 0, p]
+                row = jnp.where(iota == y0, 1.0 - w, 0.0) + jnp.where(
+                    iota == y1, w, 0.0
+                )
+                wy_ref[p : p + 1, :py] = row.astype(compute_dtype)
+            m1 = jax.lax.dot_general(
+                wy_ref[:, :py],
+                bufs[ci][slot],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [pool, px*C] f32
+            m1_ref[:, : px * chans] = m1
+            for q in range(pool):
+                x0 = corners_ref[0, 0, 2 * pool + q]
+                x1 = corners_ref[0, 0, 3 * pool + q]
+                w = weights_ref[0, 0, pool + q]
+                v0 = m1_ref[:, pl.ds(x0 * chans, chans)]
+                v1 = m1_ref[:, pl.ds(x1 * chans, chans)]
+                out_ref[0, :, q * chans : (q + 1) * chans] = (
+                    (1.0 - w) * v0 + w * v1
+                ).astype(out_ref.dtype)
+
+
+
+def batched_multilevel_roi_align_pallas(
+    features: Sequence[Array],
+    boxes: Array,
+    image_shape: Tuple[int, int],
+    crop_size: Tuple[int, int],
+    min_level: int = 2,
+    interpret: bool = False,
+) -> Array:
+    """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
+
+    features: per-level [B, H_l, W_l, C]; boxes [B, R, 4] normalized AND
+    clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
+    """
+    features = list(features)
+    b, _, _, c = features[0].shape
+    r = boxes.shape[1]
+    ph, pw = crop_size
+    assert ph == pw, "square pool expected"
+    pool = ph
+    n = b * r
+    num_levels = len(features)
+    heights = np.array([f.shape[1] for f in features], dtype=np.int32)
+    widths = np.array([f.shape[2] for f in features], dtype=np.int32)
+
+    boxes = jax.lax.stop_gradient(boxes)
+    lvl = roi_levels(
+        boxes,
+        image_area=float(image_shape[0] * image_shape[1]),
+        min_level=min_level,
+        max_level=min_level + num_levels - 1,
+    )  # [B, R]
+    li = (lvl - min_level).reshape(n)
+    lh = jnp.take(jnp.asarray(heights), li)  # [N]
+    lw = jnp.take(jnp.asarray(widths), li)
+
+    bx = boxes.reshape(n, 4)
+    y1, x1, y2, x2 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
+
+    def grid_coords(p, lo, hi, size):
+        steps = jnp.arange(p, dtype=jnp.float32)
+        sizef = size.astype(jnp.float32)[:, None]
+        if p > 1:
+            return lo[:, None] * (sizef - 1) + steps[None, :] * (
+                (hi - lo)[:, None] * (sizef - 1) / (p - 1)
+            )
+        return 0.5 * (lo + hi)[:, None] * (sizef - 1)
+
+    ys = grid_coords(pool, y1, y2, lh)  # [N, pool], in [0, lh-1]
+    xs = grid_coords(pool, x1, x2, lw)
+
+    def corners(coord, size):
+        i0 = jnp.floor(coord)
+        w = coord - i0
+        i0 = jnp.clip(i0.astype(jnp.int32), 0, size[:, None] - 1)
+        i1 = jnp.minimum(i0 + 1, size[:, None] - 1)
+        return i0, i1, w
+
+    y0i, y1i, wy = corners(ys, lh)
+    x0i, x1i, wx = corners(xs, lw)
+
+    y_start, y_end = y0i[:, 0], y1i[:, -1]  # grid coords are monotonic
+    x_start, x_end = x0i[:, 0], x1i[:, -1]
+
+    assert pallas_roi_align_supported(features), (
+        "level dims too small for the static patch classes — use the XLA "
+        "roi_align (images >= ~1024² supported here)"
+    )
+    # classes: aspect-aware (small/wide/tall/big) + full-top-level last
+    top_class = (int(heights[-1]), int(widths[-1]))
+    classes = _NONTOP_CLASSES + (top_class,)
+    top_ci = len(classes) - 1
+    is_top = li == num_levels - 1
+
+    # per-class 8-aligned y origin / exact x origin (x offsets are lane-dim
+    # slices of the [B, H, W*C] view, so any pixel origin is legal) + fit
+    origins, fits = [], []
+    for py_k, px_k in classes:
+        y0a_k = jnp.clip((y_start // 8) * 8, 0, lh - py_k)
+        x0a_k = jnp.clip(x_start, 0, lw - px_k)
+        fit_k = (y_end - y0a_k <= py_k - 1) & (x_end - x0a_k <= px_k - 1)
+        origins.append((y0a_k, x0a_k))
+        fits.append(fit_k)
+
+    # cheapest fitting class wins; top-level ROIs may only use SMALL or the
+    # full-top-level class; non-top fallback is BIG (with corner clamping)
+    big_ci = len(_NONTOP_CLASSES) - 1
+    cls = jnp.where(is_top, top_ci, big_ci)
+    for k in range(len(_NONTOP_CLASSES) - 1, -1, -1):
+        allowed = fits[k] & (~is_top | (k == 0))
+        cls = jnp.where(allowed, k, cls)
+
+    def select(per_class):
+        out = per_class[-1]
+        for k in range(len(classes) - 2, -1, -1):
+            out = jnp.where(cls == k, per_class[k], out)
+        return out
+
+    y0a = select([o[0] for o in origins])
+    x0a = select([o[1] for o in origins])
+    # patch bounds per ROI (defensive clamp: an out-of-patch corner would
+    # make the kernel's dynamic lane slice read out of bounds)
+    pyc = select([jnp.full_like(lh, py_k) for py_k, _ in classes])
+    pxc = select([jnp.full_like(lw, px_k) for _, px_k in classes])
+
+    img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+    meta = jnp.stack(
+        [
+            img,
+            li,
+            cls,
+            y0a // 8,
+            x0a,
+            jnp.zeros_like(li),
+            jnp.zeros_like(li),
+            jnp.zeros_like(li),
+        ],
+        axis=1,
+    )  # [N, 8]
+    # meta_cur row g, meta_next row g+1 (last row repeated as pad — its
+    # prefetch DMA at the final step is started but never waited on, which
+    # is harmless since it targets the about-to-be-dead scratch)
+    meta_pad = jnp.concatenate([meta, meta[-1:]], axis=0)
+    # [N, 1, K] shapes: Pallas requires the LAST TWO block dims to equal the
+    # array dims (or be (8,128)-divisible); a (1, 1, K) block of an
+    # [N, 1, K] array satisfies that while still selecting one row per step
+    meta_cur = meta_pad[:-1, None, :]
+    meta_next = meta_pad[1:, None, :]
+
+    corners_arr = jnp.concatenate(
+        [
+            jnp.clip(y0i - y0a[:, None], 0, pyc[:, None] - 1),
+            jnp.clip(y1i - y0a[:, None], 0, pyc[:, None] - 1),
+            jnp.clip(x0i - x0a[:, None], 0, pxc[:, None] - 1),
+            jnp.clip(x1i - x0a[:, None], 0, pxc[:, None] - 1),
+        ],
+        axis=1,
+    ).astype(jnp.int32)[:, None, :]  # [N, 1, 4*pool]
+    weights_arr = jnp.concatenate([wy, wx], axis=1).astype(jnp.float32)[
+        :, None, :
+    ]  # [N, 1, 2*pool]
+
+    dt = features[0].dtype
+    feat_views = [f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features]
+
+    max_px = max(px for _, px in classes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 1, 4 * pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 2 * pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, pool, pool * c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            *[
+                pltpu.VMEM((2, py_k, px_k * c), dt)
+                for py_k, px_k in classes
+            ],
+            pltpu.VMEM((pool, max_px * c), jnp.float32),
+            pltpu.VMEM((pool, max(py for py, _ in classes)), dt),
+            pltpu.SemaphoreType.DMA((len(classes), 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            pool=pool,
+            chans=c,
+            classes=classes,
+            level_dims=tuple(zip(heights.tolist(), widths.tolist())),
+            compute_dtype=dt,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, pool, pool * c), dt),
+        interpret=interpret,
+    )(meta_cur, meta_next, corners_arr, weights_arr, *feat_views)
+    return out.reshape(b, r, pool, pool, c)

@@ -1,0 +1,93 @@
+"""Parity of the Pallas patch-DMA ROIAlign vs the XLA gather formulation.
+
+Runs the kernel in interpret mode on CPU over COCO-sized pyramids (the
+kernel's static patch classes require >= ~1024² level dims) and checks
+bitwise-close agreement with `batched_multilevel_roi_align` across the ROI
+taxonomy: tiny (P2), bucket-edge, large (P5-clamped), full-image,
+boundary-hugging, and zero-padding boxes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from objectdetection_tpu.ops.roi_align import batched_multilevel_roi_align
+from objectdetection_tpu.ops.roi_align_pallas import (
+    batched_multilevel_roi_align_pallas,
+    pallas_roi_align_supported,
+)
+
+C = 128
+IMAGE = (1024, 1024)
+
+
+@pytest.fixture(scope="module")
+def pyramid():
+    rng = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rng.randn(2, s, s, C).astype(np.float32))
+        for s in (256, 128, 64, 32)
+    ]
+    return feats
+
+
+def _boxes():
+    rng = np.random.RandomState(1)
+    boxes = []
+    # random boxes across the size spectrum
+    for _ in range(40):
+        size = np.exp(rng.uniform(np.log(0.01), np.log(0.9)))
+        y = rng.uniform(0, 1 - size)
+        x = rng.uniform(0, 1 - size)
+        ar = np.exp(rng.uniform(np.log(0.5), np.log(2.0)))
+        h, w = min(size * ar, 1 - y), min(size / ar, 1 - x)
+        boxes.append([y, x, y + h, x + w])
+    boxes += [
+        [0.0, 0.0, 1.0, 1.0],  # full image (P5-clamped, class 2)
+        [0.0, 0.0, 0.004, 0.004],  # tiny at the corner (P2)
+        [0.99, 0.99, 1.0, 1.0],  # boundary-hugging
+        [0.3, 0.3, 0.3, 0.3],  # degenerate (zero area)
+        [0.0, 0.0, 0.0, 0.0],  # zero padding
+        [0.1, 0.2, 0.52, 0.62],  # bucket-edge large span
+    ]
+    while len(boxes) % 8:
+        boxes.append([0.0, 0.0, 0.0, 0.0])
+    b1 = np.asarray(boxes, np.float32)
+    b2 = b1[::-1].copy()
+    return jnp.asarray(np.stack([b1, b2]))
+
+
+class TestPallasRoiAlign:
+    def test_supported_gate(self, pyramid):
+        assert pallas_roi_align_supported(pyramid)
+        small = [jnp.zeros((1, s, s, C)) for s in (32, 16, 8, 4)]
+        assert not pallas_roi_align_supported(small)
+
+    @pytest.mark.parametrize("pool", [7, 14])
+    def test_matches_xla(self, pyramid, pool):
+        boxes = _boxes()
+        ref = batched_multilevel_roi_align(
+            pyramid, boxes, IMAGE, (pool, pool)
+        )
+        got = batched_multilevel_roi_align_pallas(
+            pyramid, boxes, IMAGE, (pool, pool), interpret=True
+        )
+        assert got.shape == ref.shape == (2, boxes.shape[1], pool, pool, C)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_matches_xla_bf16(self, pyramid):
+        boxes = _boxes()[:, :16]
+        feats16 = [f.astype(jnp.bfloat16) for f in pyramid]
+        ref = batched_multilevel_roi_align(feats16, boxes, IMAGE, (7, 7))
+        got = batched_multilevel_roi_align_pallas(
+            feats16, boxes, IMAGE, (7, 7), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=2e-2,
+            atol=2e-2,
+        )
