@@ -28,6 +28,12 @@ def main():
         help="int8 PTQ inference (quant.py): backbone/FPN/RPN convs on the "
         "MXU int8 path, calibrated on a random batch before timing",
     )
+    p.add_argument(
+        "--pallas-align",
+        choices=["all", "masks", "off"],
+        default=None,
+        help="override cfg.pallas_roi_align (Pallas patch-DMA ROIAlign)",
+    )
     args = p.parse_args()
 
     import jax
@@ -43,6 +49,8 @@ def main():
         image_max_dim=args.image_size,
         quantized_inference=args.int8,
     )
+    if args.pallas_align is not None:
+        cfg = cfg.replace(pallas_roi_align=args.pallas_align)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))

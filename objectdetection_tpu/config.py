@@ -99,8 +99,12 @@ class DetectorConfig:
     quantized_inference: bool = False
     # Pallas patch-DMA ROIAlign on the inference path (TPU only; auto-falls
     # back to the XLA gather when unsupported — small pyramids, training,
-    # non-TPU backends). See ops/roi_align_pallas.py.
-    pallas_roi_align: bool = True
+    # non-TPU backends). "all" | "masks" | "off". The mask stage (100
+    # ROIs/img) wins ~9x with the kernel; the box stage (1000 ROIs/img) wins
+    # ~1.5x on realistic proposal-size mixes but is per-step-overhead-bound
+    # at ~parity on degenerate (all-huge-box) inputs. See
+    # ops/roi_align_pallas.py.
+    pallas_roi_align: str = "all"
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

@@ -63,15 +63,17 @@ class MaskRCNN(nn.Module):
         logits, probs, deltas = self.rpn(feats)
         return feats, logits, probs, deltas
 
-    def _roi_align(self, feats, rois, crop_size, use_pallas: bool):
+    def _roi_align(self, feats, rois, crop_size, use_pallas: bool, stage: str):
         """Pooling dispatch: Pallas patch-DMA kernel on the inference path
-        (TPU, big-enough pyramids), XLA gather otherwise (training — the
-        Pallas call has no JVP — CPU, and small images)."""
+        (TPU, big-enough pyramids, stage enabled in cfg.pallas_roi_align),
+        XLA gather otherwise (training — the Pallas call has no JVP — CPU,
+        and small images)."""
         cfg = self.config
         feats = list(feats[:4])
+        stage_on = cfg.pallas_roi_align == "all" or cfg.pallas_roi_align == stage
         if (
             use_pallas
-            and cfg.pallas_roi_align
+            and stage_on
             and jax.default_backend() == "tpu"
             and pallas_roi_align_supported(feats)
         ):
@@ -87,7 +89,9 @@ class MaskRCNN(nn.Module):
     ):
         """ROIAlign + box/class head: rois [B, R, 4] → (logits, probs, bbox)."""
         cfg = self.config
-        pooled = self._roi_align(feats, rois, cfg.pool_shape, use_pallas)
+        pooled = self._roi_align(
+            feats, rois, cfg.pool_shape, use_pallas, "boxes"
+        )
         return self.box_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
 
     def predict_masks(
@@ -104,7 +108,7 @@ class MaskRCNN(nn.Module):
         """
         cfg = self.config
         pooled = self._roi_align(
-            feats, rois, cfg.mask_pool_shape, use_pallas
+            feats, rois, cfg.mask_pool_shape, use_pallas, "masks"
         )
         return self.mask_head(
             pooled.astype(jnp.dtype(cfg.compute_dtype)), class_ids

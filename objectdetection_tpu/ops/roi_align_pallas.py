@@ -78,8 +78,9 @@ def pallas_roi_align_supported(features) -> bool:
 def _kernel(
     meta_ref,  # SMEM int32 [1, 1, 8] row g: img, li, cls, y0a/8, x0a
     next_ref,  # SMEM int32 [1, 1, 8] row g+1 (same table shifted by one row)
-    corners_ref,  # SMEM int32 [1, 1, 4*pool]: y0r | y1r | x0r | x1r (patch-rel)
-    weights_ref,  # SMEM f32 [1, 1, 2*pool]: wy | wx
+    xint_ref,  # SMEM int32 [1, 1, 2*pool]: x0r | x1r (patch-relative)
+    wx_ref,  # SMEM f32 [1, 1, pool]: x lerp weights (scalar reads)
+    geom_ref,  # VMEM f32 [1, pool, 4]: per-sample y0r, y1r, wy, wx
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
     out_ref,  # VMEM [1, pool, pool*C]
     *scratch,
@@ -89,7 +90,7 @@ def _kernel(
     level_dims,
     compute_dtype,
 ):
-    *bufs, m1_ref, wy_ref, sems = scratch
+    *bufs, b_top, state_ref, m1_ref, sems = scratch
     feats = (f2, f3, f4, f5)
     g = pl.program_id(0)
     n = pl.num_programs(0)
@@ -132,6 +133,8 @@ def _kernel(
         li = ref[0, 0, 1]
         cls = ref[0, 0, 2]
         for lvl, ci, py, px in combos():
+            if ci == top_ci:
+                continue  # full-top-level patches are cached per image below
             @pl.when((li == lvl) & (cls == ci))
             def _(lvl=lvl, ci=ci, py=py, px=px):
                 dma(ref, slot_, ci, lvl, py, px).start()
@@ -140,12 +143,15 @@ def _kernel(
         li = ref[0, 0, 1]
         cls = ref[0, 0, 2]
         for lvl, ci, py, px in combos():
+            if ci == top_ci:
+                continue
             @pl.when((li == lvl) & (cls == ci))
             def _(lvl=lvl, ci=ci, py=py, px=px):
                 dma(ref, slot_, ci, lvl, py, px).wait()
 
     @pl.when(g == 0)
     def _():
+        state_ref[0] = -1  # no image's top level cached yet
         start_dma(meta_ref, 0)
 
     @pl.when(g + 1 < n)
@@ -155,36 +161,60 @@ def _kernel(
     wait_dma(meta_ref, slot)
 
     cls = meta_ref[0, 0, 2]
+
+    # Full-top-level class: the patch is image i's ENTIRE top pyramid level,
+    # so cache it across grid steps — ROIs arrive image-major, so it reloads
+    # only B times per batch instead of once per (top-class) ROI. With
+    # degenerate/huge boxes (all clamped to the top level) the per-ROI DMA
+    # bill would otherwise be ~32k x 524 KB.
+    @pl.when(cls == top_ci)
+    def _():
+        img = meta_ref[0, 0, 0]
+
+        @pl.when(state_ref[0] != img)
+        def _():
+            cp = pltpu.make_async_copy(
+                feats[len(level_dims) - 1].at[img],
+                b_top,
+                sems.at[top_ci, 0],
+            )
+            cp.start()
+            cp.wait()
+            state_ref[0] = img
     for ci, (py, px) in enumerate(classes):
+        patch_of = (lambda ci: (lambda: b_top[:, :]) if ci == top_ci
+                    else (lambda: bufs[ci][slot]))(ci)
         @pl.when(cls == ci)
-        def _(ci=ci, py=py, px=px):
-            # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at y1r_p.
-            # (When y0r==y1r — edge clamp — the weights sum to 1, matching
-            # the XLA path's v*(1-w) + v*w == v.)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, py), 1)
-            for p in range(pool):
-                y0 = corners_ref[0, 0, p]
-                y1 = corners_ref[0, 0, pool + p]
-                w = weights_ref[0, 0, p]
-                row = jnp.where(iota == y0, 1.0 - w, 0.0) + jnp.where(
-                    iota == y1, w, 0.0
-                )
-                wy_ref[p : p + 1, :py] = row.astype(compute_dtype)
+        def _(ci=ci, py=py, px=px, patch_of=patch_of):
+            # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at y1r_p,
+            # built in ONE vectorized expression from the [pool, 1]-oriented
+            # geometry columns (f32 equality on small ints is exact). When
+            # y0r==y1r (edge clamp) the weights sum to 1, matching the XLA
+            # path's v*(1-w) + v*w == v.
+            gv = geom_ref[0]  # [pool, 4]
+            y0c = gv[:, 0:1].astype(jnp.int32)
+            y1c = gv[:, 1:2].astype(jnp.int32)
+            wyc = gv[:, 2:3]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
+            wy_mat = jnp.where(iota == y0c, 1.0 - wyc, 0.0) + jnp.where(
+                iota == y1c, wyc, 0.0
+            )
             m1 = jax.lax.dot_general(
-                wy_ref[:, :py],
-                bufs[ci][slot],
+                wy_mat.astype(compute_dtype),
+                patch_of(),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [pool, px*C] f32
-            m1_ref[:, : px * chans] = m1
+            )  # [pool, px*C]
+            # bf16 round-trip matches the XLA path's blend-in-feature-dtype
+            m1_ref[:, : px * chans] = m1.astype(compute_dtype)
             for q in range(pool):
-                x0 = corners_ref[0, 0, 2 * pool + q]
-                x1 = corners_ref[0, 0, 3 * pool + q]
-                w = weights_ref[0, 0, pool + q]
+                x0 = xint_ref[0, 0, q]
+                x1 = xint_ref[0, 0, pool + q]
+                wq = wx_ref[0, 0, q]  # scalar
                 v0 = m1_ref[:, pl.ds(x0 * chans, chans)]
                 v1 = m1_ref[:, pl.ds(x1 * chans, chans)]
                 out_ref[0, :, q * chans : (q + 1) * chans] = (
-                    (1.0 - w) * v0 + w * v1
+                    (1.0 - wq) * v0 + wq * v1
                 ).astype(out_ref.dtype)
 
 
@@ -317,18 +347,26 @@ def batched_multilevel_roi_align_pallas(
     meta_cur = meta_pad[:-1, None, :]
     meta_next = meta_pad[1:, None, :]
 
-    corners_arr = jnp.concatenate(
+    xint_arr = jnp.concatenate(
         [
-            jnp.clip(y0i - y0a[:, None], 0, pyc[:, None] - 1),
-            jnp.clip(y1i - y0a[:, None], 0, pyc[:, None] - 1),
             jnp.clip(x0i - x0a[:, None], 0, pxc[:, None] - 1),
             jnp.clip(x1i - x0a[:, None], 0, pxc[:, None] - 1),
         ],
         axis=1,
-    ).astype(jnp.int32)[:, None, :]  # [N, 1, 4*pool]
-    weights_arr = jnp.concatenate([wy, wx], axis=1).astype(jnp.float32)[
-        :, None, :
-    ]  # [N, 1, 2*pool]
+    ).astype(jnp.int32)[:, None, :]  # [N, 1, 2*pool]
+    geom_arr = jnp.stack(
+        [
+            jnp.clip(y0i - y0a[:, None], 0, pyc[:, None] - 1).astype(
+                jnp.float32
+            ),
+            jnp.clip(y1i - y0a[:, None], 0, pyc[:, None] - 1).astype(
+                jnp.float32
+            ),
+            wy.astype(jnp.float32),
+            wx.astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [N, pool, 4]
 
     dt = features[0].dtype
     feat_views = [f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features]
@@ -341,11 +379,12 @@ def batched_multilevel_roi_align_pallas(
             pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, 4 * pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
                 (1, 1, 2 * pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (1, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, pool, 4), lambda g: (g, 0, 0)),
             *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
         ],
         out_specs=pl.BlockSpec(
@@ -354,10 +393,13 @@ def batched_multilevel_roi_align_pallas(
         scratch_shapes=[
             *[
                 pltpu.VMEM((2, py_k, px_k * c), dt)
-                for py_k, px_k in classes
+                for py_k, px_k in classes[:-1]
             ],
-            pltpu.VMEM((pool, max_px * c), jnp.float32),
-            pltpu.VMEM((pool, max(py for py, _ in classes)), dt),
+            pltpu.VMEM(
+                (classes[-1][0], classes[-1][1] * c), dt
+            ),  # cached top level (single slot)
+            pltpu.SMEM((1,), jnp.int32),  # image id cached in b_top
+            pltpu.VMEM((pool, max_px * c), dt),
             pltpu.SemaphoreType.DMA((len(classes), 2)),
         ],
     )
@@ -373,5 +415,12 @@ def batched_multilevel_roi_align_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, pool, pool * c), dt),
         interpret=interpret,
-    )(meta_cur, meta_next, corners_arr, weights_arr, *feat_views)
+    )(
+        meta_cur,
+        meta_next,
+        xint_arr,
+        wx.astype(jnp.float32)[:, None, :],
+        geom_arr,
+        *feat_views,
+    )
     return out.reshape(b, r, pool, pool, c)
