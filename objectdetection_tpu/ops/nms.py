@@ -204,14 +204,17 @@ def _finalize(out_boxes, svalid, order, n, max_output) -> NMSResult:
     )
     kept = svalid[:n] & (area > 0)
 
-    # Compact kept indices to the front, preserving score order.
-    compact = jnp.argsort(jnp.where(kept, 0, 1), stable=True)
-    kept_sorted = jnp.take(kept, compact)
-    orig_idx = jnp.take(order[:n], compact)
-
+    # Compact the first `k` kept indices to the front, preserving score
+    # order: top_k over descending-position keys (kept row i ↦ key n-i,
+    # dead rows ↦ 0) returns exactly the earliest kept rows in order — a
+    # partial top-k instead of the full stable argsort this used to do
+    # (the argsort was ~10 ms/batch32 at 6144 rows, over half of NMS time).
     k = min(max_output, n)
-    out_valid = kept_sorted[:k]
-    out_idx = jnp.where(out_valid, orig_idx[:k], -1).astype(jnp.int32)
+    keys = jnp.where(kept, jnp.arange(n, 0, -1, dtype=jnp.int32), 0)
+    top_keys, top_rows = jax.lax.top_k(keys, k)
+    out_valid = top_keys > 0
+    orig_idx = jnp.take(order[:n], top_rows)
+    out_idx = jnp.where(out_valid, orig_idx, -1).astype(jnp.int32)
     if k < max_output:
         out_idx = jnp.pad(out_idx, (0, max_output - k), constant_values=-1)
         out_valid = jnp.pad(out_valid, (0, max_output - k))
