@@ -29,6 +29,12 @@ def main():
     p.add_argument("--calib-images", type=int, default=16)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--score-threshold", type=float, default=0.5)
+    # must match the `odtpu train` invocation that produced the checkpoint
+    # (the optimizer-state structure depends on these)
+    p.add_argument("--train-steps", type=int, default=3000)
+    p.add_argument("--lr", type=float, default=0.003)
+    p.add_argument("--lr-schedule", default="warmup_cosine")
+    p.add_argument("--post-nms", type=int, default=256)
     args = p.parse_args()
 
     from objectdetection_tpu import checkpoint, detector, quant
@@ -36,7 +42,19 @@ def main():
     from objectdetection_tpu.config import SHAPES_CONFIG
     from objectdetection_tpu.data.shapes import ShapesDataset
 
-    cfg = SHAPES_CONFIG
+    cfg = SHAPES_CONFIG.replace(
+        post_nms_rois_training=args.post_nms,
+        post_nms_rois_inference=min(
+            SHAPES_CONFIG.post_nms_rois_inference, args.post_nms
+        ),
+        pre_nms_rois_count=min(
+            SHAPES_CONFIG.pre_nms_rois_count, 8 * args.post_nms
+        ),
+        learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=max(args.train_steps // 20, 10),
+        total_train_steps=args.train_steps,
+    )
     state = detector.create_train_state(cfg, jax.random.PRNGKey(0))
     state = checkpoint.load_checkpoint(args.ckpt, state)
     print(f"restored step {int(state.step)}", file=sys.stderr)

@@ -2,7 +2,7 @@
 
 The XLA formulation (`ops/roi_align.py`) is bound by the TPU gather engine's
 row RATE (~147M 512B-rows/s measured, and the rate FALLS as rows widen —
-benchmarks/gather_width_probe.py), so batch-32 box pooling costs ~43 ms for
+benchmarks/gather_width_probe.py), so batch-32 box pooling costs ~46 ms for
 6.27M single-pixel corner gathers. But each ROI's pool-grid samples live
 inside one small bounding patch of ONE pyramid level, so this kernel instead:
 
@@ -15,11 +15,17 @@ inside one small bounding patch of ONE pyramid level, so this kernel instead:
    result per output column (offsets are multiples of C, so always
    lane-aligned).
 
+Each grid step processes K_ROIS ROIs: per-step fixed costs (the SMEM/VMEM
+input-block DMAs and grid overhead, ~1.2 us/step measured at K=1) amortize
+across K patches that are all in flight concurrently.
+
 Mosaic constraints honored: features are viewed [B, H, W*C] so x-slices are
 lane-dim slices (any pixel offset is x*C, provably 128-divisible); y (the
 sublane dim) offsets are pre-aligned to 8 on the host; no transposes; no
 value-level dynamic slicing (only ref `pl.ds`); patch classes have static
-shapes with `pl.when`-predicated DMAs.
+shapes with `pl.when`-predicated DMAs (every emitted branch must be
+shape-valid even when predicated off); int32 iota only; scalar weights read
+from SMEM ([1,1]-vector broadcasts over two dims don't lower).
 
 INFERENCE ONLY: `pallas_call` has no JVP rule, and boxes must already be
 clipped to [0, 1] (the proposal/detection layers guarantee this). Training
@@ -27,7 +33,8 @@ paths keep the XLA version.
 
 ≙ reference semantics: `tf.image.crop_and_resize` bilinear pooling with the
 FPN level-assignment rule (maskrcnn.py:104-122), identical to
-`batched_multilevel_roi_align` (parity-tested in tests/test_roi_align.py).
+`batched_multilevel_roi_align` (parity-tested in
+tests/test_roi_align_pallas.py).
 """
 
 from __future__ import annotations
@@ -49,14 +56,16 @@ from objectdetection_tpu.ops.roi_align import roi_levels
 # for non-clamped ROIs, but each SIDE scales with sqrt(aspect): at aspect 4
 # a side reaches ~41 level pixels. Four aspect-aware classes cover that
 # envelope (ROIs pick the cheapest fitting patch); top-level-clamped ROIs
-# get a fifth full-top-level class (computed per call). Pathological
-# aspect ratios beyond the envelope fall back to the big class with
-# host-side corner clamping (approximate, never out of bounds).
+# get a fifth full-top-level class (computed per call, cached per image).
+# Pathological aspect ratios beyond the envelope fall back to the big class
+# with host-side corner clamping (approximate, never out of bounds).
 _SMALL = (24, 24)
 _WIDE = (24, 44)
 _TALL = (48, 24)
 _BIG = (48, 44)
 _NONTOP_CLASSES = (_SMALL, _WIDE, _TALL, _BIG)
+
+K_ROIS = 4  # ROIs per grid step
 
 
 def pallas_roi_align_supported(features) -> bool:
@@ -76,13 +85,13 @@ def pallas_roi_align_supported(features) -> bool:
 
 
 def _kernel(
-    meta_ref,  # SMEM int32 [1, 1, 8] row g: img, li, cls, y0a/8, x0a
-    next_ref,  # SMEM int32 [1, 1, 8] row g+1 (same table shifted by one row)
-    xint_ref,  # SMEM int32 [1, 1, 2*pool]: x0r | x1r (patch-relative)
-    wx_ref,  # SMEM f32 [1, 1, pool]: x lerp weights (scalar reads)
-    geom_ref,  # VMEM f32 [1, pool, 4]: per-sample y0r, y1r, wy, wx
+    meta_ref,  # SMEM int32 [K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
+    next_ref,  # SMEM int32 [K, 1, 8] next step's rows (table shifted by K)
+    xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0r | x1r (patch-relative)
+    wx_ref,  # SMEM f32 [K, 1, pool]: x lerp weights (scalar reads)
+    geom_ref,  # VMEM f32 [K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
-    out_ref,  # VMEM [1, pool, pool*C]
+    out_ref,  # VMEM [K, pool, pool*C]
     *scratch,
     pool: int,
     chans: int,
@@ -90,133 +99,133 @@ def _kernel(
     level_dims,
     compute_dtype,
 ):
-    *bufs, b_top, state_ref, m1_ref, sems = scratch
+    bufs, b_top, state_ref, m1_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
     g = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(g, 2)
+    k_rois = meta_ref.shape[0]
 
     top_ci = len(classes) - 1
 
     def combos():
-        """(lvl, ci) pairs that are both shape-valid and reachable.
-
-        Every emitted branch must be statically shape-valid even when its
-        predicate is false (the copy is traced/compiled either way), so
-        classes larger than a level are skipped; the full-top-level class
-        is only ever selected on the top level.
-        """
+        """(lvl, ci) pairs that are both shape-valid and reachable. Every
+        emitted branch must be statically shape-valid even when its
+        predicate is false; the full-top-level class is handled by the
+        per-image cache, and top-level ROIs only ever use SMALL or it."""
         for lvl, (h, w) in enumerate(level_dims):
             top = lvl == len(level_dims) - 1
-            for ci, (py, px) in enumerate(classes):
+            for ci, (py, px) in enumerate(classes[:-1]):
                 if py > h or px > w:
                     continue
-                if (ci == top_ci) != top and ci == top_ci:
-                    continue  # full-top class only on the top level
-                if top and ci not in (0, top_ci):
-                    continue  # top-level ROIs only use SMALL or full-top
+                if top and ci != 0:
+                    continue
                 yield lvl, ci, py, px
 
-    def dma(ref, slot_, ci_sel, lvl, py, px):
-        img = ref[0, 0, 0]
-        yq = ref[0, 0, 3]
-        x0 = ref[0, 0, 4]
+    def dma(ref, j, slot_, lvl, py, px):
+        img = ref[j, 0, 0]
+        yq = ref[j, 0, 3]
+        x0 = ref[j, 0, 4]
         return pltpu.make_async_copy(
             feats[lvl].at[
                 img, pl.ds(yq * 8, py), pl.ds(x0 * chans, px * chans)
             ],
-            bufs[ci_sel].at[slot_],
-            sems.at[ci_sel, slot_],
+            bufs.at[slot_, j, 0:py, 0 : px * chans],
+            sems.at[slot_, j],
         )
 
-    def start_dma(ref, slot_):
-        li = ref[0, 0, 1]
-        cls = ref[0, 0, 2]
-        for lvl, ci, py, px in combos():
-            if ci == top_ci:
-                continue  # full-top-level patches are cached per image below
-            @pl.when((li == lvl) & (cls == ci))
-            def _(lvl=lvl, ci=ci, py=py, px=px):
-                dma(ref, slot_, ci, lvl, py, px).start()
+    def start_dmas(ref, slot_):
+        for j in range(k_rois):
+            li = ref[j, 0, 1]
+            cls = ref[j, 0, 2]
+            for lvl, ci, py, px in combos():
+                @pl.when((li == lvl) & (cls == ci))
+                def _(j=j, lvl=lvl, py=py, px=px):
+                    dma(ref, j, slot_, lvl, py, px).start()
 
-    def wait_dma(ref, slot_):
-        li = ref[0, 0, 1]
-        cls = ref[0, 0, 2]
+    def wait_dma(ref, j, slot_):
+        li = ref[j, 0, 1]
+        cls = ref[j, 0, 2]
         for lvl, ci, py, px in combos():
-            if ci == top_ci:
-                continue
             @pl.when((li == lvl) & (cls == ci))
-            def _(lvl=lvl, ci=ci, py=py, px=px):
-                dma(ref, slot_, ci, lvl, py, px).wait()
+            def _(j=j, lvl=lvl, py=py, px=px):
+                dma(ref, j, slot_, lvl, py, px).wait()
 
     @pl.when(g == 0)
     def _():
         state_ref[0] = -1  # no image's top level cached yet
-        start_dma(meta_ref, 0)
+        start_dmas(meta_ref, 0)
 
     @pl.when(g + 1 < n)
     def _():
-        start_dma(next_ref, 1 - slot)
+        start_dmas(next_ref, 1 - slot)
 
-    wait_dma(meta_ref, slot)
+    for j in range(k_rois):
+        cls = meta_ref[j, 0, 2]
 
-    cls = meta_ref[0, 0, 2]
+        @pl.when(cls != top_ci)
+        def _(j=j):
+            wait_dma(meta_ref, j, slot)
 
-    # Full-top-level class: the patch is image i's ENTIRE top pyramid level,
-    # so cache it across grid steps — ROIs arrive image-major, so it reloads
-    # only B times per batch instead of once per (top-class) ROI. With
-    # degenerate/huge boxes (all clamped to the top level) the per-ROI DMA
-    # bill would otherwise be ~32k x 524 KB.
-    @pl.when(cls == top_ci)
-    def _():
-        img = meta_ref[0, 0, 0]
+        # Full-top-level class: the patch is image i's ENTIRE top pyramid
+        # level, cached across grid steps — ROIs arrive image-major, so it
+        # reloads only B times per batch instead of once per top-class ROI.
+        @pl.when(cls == top_ci)
+        def _(j=j):
+            img = meta_ref[j, 0, 0]
 
-        @pl.when(state_ref[0] != img)
-        def _():
-            cp = pltpu.make_async_copy(
-                feats[len(level_dims) - 1].at[img],
-                b_top,
-                sems.at[top_ci, 0],
-            )
-            cp.start()
-            cp.wait()
-            state_ref[0] = img
-    for ci, (py, px) in enumerate(classes):
-        patch_of = (lambda ci: (lambda: b_top[:, :]) if ci == top_ci
-                    else (lambda: bufs[ci][slot]))(ci)
-        @pl.when(cls == ci)
-        def _(ci=ci, py=py, px=px, patch_of=patch_of):
-            # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at y1r_p,
-            # built in ONE vectorized expression from the [pool, 1]-oriented
-            # geometry columns (f32 equality on small ints is exact). When
-            # y0r==y1r (edge clamp) the weights sum to 1, matching the XLA
-            # path's v*(1-w) + v*w == v.
-            gv = geom_ref[0]  # [pool, 4]
-            y0c = gv[:, 0:1].astype(jnp.int32)
-            y1c = gv[:, 1:2].astype(jnp.int32)
-            wyc = gv[:, 2:3]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
-            wy_mat = jnp.where(iota == y0c, 1.0 - wyc, 0.0) + jnp.where(
-                iota == y1c, wyc, 0.0
-            )
-            m1 = jax.lax.dot_general(
-                wy_mat.astype(compute_dtype),
-                patch_of(),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [pool, px*C]
-            # bf16 round-trip matches the XLA path's blend-in-feature-dtype
-            m1_ref[:, : px * chans] = m1.astype(compute_dtype)
-            for q in range(pool):
-                x0 = xint_ref[0, 0, q]
-                x1 = xint_ref[0, 0, pool + q]
-                wq = wx_ref[0, 0, q]  # scalar
-                v0 = m1_ref[:, pl.ds(x0 * chans, chans)]
-                v1 = m1_ref[:, pl.ds(x1 * chans, chans)]
-                out_ref[0, :, q * chans : (q + 1) * chans] = (
-                    (1.0 - wq) * v0 + wq * v1
-                ).astype(out_ref.dtype)
+            @pl.when(state_ref[0] != img)
+            def _():
+                cp = pltpu.make_async_copy(
+                    feats[len(level_dims) - 1].at[img], b_top, sem_top
+                )
+                cp.start()
+                cp.wait()
+                state_ref[0] = img
 
+        for ci, (py, px) in enumerate(classes):
+            if ci == top_ci:
+                patch_fn = lambda: b_top[:, :]
+            else:
+                patch_fn = (
+                    lambda j=j, py=py, px=px: bufs[
+                        slot, j, 0:py, 0 : px * chans
+                    ]
+                )
+
+            @pl.when(cls == ci)
+            def _(j=j, ci=ci, py=py, px=px, patch_fn=patch_fn):
+                # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
+                # y1r_p, built in ONE vectorized iota-compare expression
+                # from the [pool, 1]-oriented geometry columns (f32
+                # equality on small ints is exact). When y0r==y1r (edge
+                # clamp) the weights sum to 1, matching the XLA path's
+                # v*(1-w) + v*w == v.
+                gv = geom_ref[j]  # [pool, 4]
+                y0c = gv[:, 0:1].astype(jnp.int32)
+                y1c = gv[:, 1:2].astype(jnp.int32)
+                wyc = gv[:, 2:3]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
+                wy_mat = jnp.where(iota == y0c, 1.0 - wyc, 0.0) + jnp.where(
+                    iota == y1c, wyc, 0.0
+                )
+                m1 = jax.lax.dot_general(
+                    wy_mat.astype(compute_dtype),
+                    patch_fn(),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [pool, px*C]
+                # bf16 round-trip matches the XLA blend-in-feature-dtype
+                m1_ref[:, : px * chans] = m1.astype(compute_dtype)
+                for q in range(pool):
+                    x0 = xint_ref[j, 0, q]
+                    x1 = xint_ref[j, 0, pool + q]
+                    wq = wx_ref[j, 0, q]  # scalar
+                    v0 = m1_ref[:, pl.ds(x0 * chans, chans)]
+                    v1 = m1_ref[:, pl.ds(x1 * chans, chans)]
+                    out_ref[j, :, q * chans : (q + 1) * chans] = (
+                        (1.0 - wq) * v0 + wq * v1
+                    ).astype(out_ref.dtype)
 
 
 def batched_multilevel_roi_align_pallas(
@@ -337,15 +346,6 @@ def batched_multilevel_roi_align_pallas(
         ],
         axis=1,
     )  # [N, 8]
-    # meta_cur row g, meta_next row g+1 (last row repeated as pad — its
-    # prefetch DMA at the final step is started but never waited on, which
-    # is harmless since it targets the about-to-be-dead scratch)
-    meta_pad = jnp.concatenate([meta, meta[-1:]], axis=0)
-    # [N, 1, K] shapes: Pallas requires the LAST TWO block dims to equal the
-    # array dims (or be (8,128)-divisible); a (1, 1, K) block of an
-    # [N, 1, K] array satisfies that while still selecting one row per step
-    meta_cur = meta_pad[:-1, None, :]
-    meta_next = meta_pad[1:, None, :]
 
     xint_arr = jnp.concatenate(
         [
@@ -353,7 +353,8 @@ def batched_multilevel_roi_align_pallas(
             jnp.clip(x1i - x0a[:, None], 0, pxc[:, None] - 1),
         ],
         axis=1,
-    ).astype(jnp.int32)[:, None, :]  # [N, 1, 2*pool]
+    ).astype(jnp.int32)  # [N, 2*pool]
+    wx_arr = wx.astype(jnp.float32)  # [N, pool]
     geom_arr = jnp.stack(
         [
             jnp.clip(y0i - y0a[:, None], 0, pyc[:, None] - 1).astype(
@@ -368,39 +369,71 @@ def batched_multilevel_roi_align_pallas(
         axis=-1,
     )  # [N, pool, 4]
 
-    dt = features[0].dtype
-    feat_views = [f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features]
+    # pad the ROI axis to a multiple of K_ROIS with benign rows (class 0,
+    # level 0, image 0, zero geometry) — their outputs are sliced off
+    k_r = K_ROIS
+    n_pad = ((n + k_r - 1) // k_r) * k_r
+    pad = n_pad - n
 
+    def pad0(a):
+        widths_ = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths_) if pad else a
+
+    meta = pad0(meta)
+    xint_arr = pad0(xint_arr)[:, None, :]  # [N', 1, 2*pool]
+    wx_arr = pad0(wx_arr)[:, None, :]  # [N', 1, pool]
+    geom_arr = pad0(geom_arr)
+
+    # meta_cur block g covers rows [gK, gK+K); meta_next the following K
+    # rows (last block's prefetches target the pad rows — started but
+    # benign: class 0 at level 0 image 0 is always a valid copy)
+    meta_next = jnp.concatenate(
+        [meta[k_r:], jnp.tile(meta[-1:], (k_r, 1))], axis=0
+    )
+    meta_cur = meta[:, None, :]
+    meta_next = meta_next[:, None, :]
+
+    dt = features[0].dtype
+    feat_views = [
+        f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features
+    ]
+
+    max_py = max(py for py, _ in classes[:-1])
     max_px = max(px for _, px in classes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n,),
+        grid=(n_pad // k_r,),
         in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, 1, 2 * pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (k_r, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (k_r, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, pool, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec(
+                (k_r, 1, 2 * pool),
+                lambda g: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (k_r, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((k_r, pool, 4), lambda g: (g, 0, 0)),
             *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
         ],
         out_specs=pl.BlockSpec(
-            (1, pool, pool * c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            (k_r, pool, pool * c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            *[
-                pltpu.VMEM((2, py_k, px_k * c), dt)
-                for py_k, px_k in classes[:-1]
-            ],
+            # unified double-buffered patch store: [slot, j, PYmax, PXmax*C]
+            pltpu.VMEM((2, k_r, max_py, max_px * c), dt),
             pltpu.VMEM(
                 (classes[-1][0], classes[-1][1] * c), dt
             ),  # cached top level (single slot)
             pltpu.SMEM((1,), jnp.int32),  # image id cached in b_top
             pltpu.VMEM((pool, max_px * c), dt),
-            pltpu.SemaphoreType.DMA((len(classes), 2)),
+            pltpu.SemaphoreType.DMA((2, k_r)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     out = pl.pallas_call(
@@ -413,14 +446,14 @@ def batched_multilevel_roi_align_pallas(
             compute_dtype=dt,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, pool, pool * c), dt),
+        out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), dt),
         interpret=interpret,
     )(
         meta_cur,
         meta_next,
         xint_arr,
-        wx.astype(jnp.float32)[:, None, :],
+        wx_arr,
         geom_arr,
         *feat_views,
     )
-    return out.reshape(b, r, pool, pool, c)
+    return out[:n].reshape(b, r, pool, pool, c)
