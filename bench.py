@@ -16,17 +16,25 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch", type=int, default=96)
+    p.add_argument("--iters", type=int, default=6)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--image-size", type=int, default=1024)
     p.add_argument("--no-masks", action="store_true")
     p.add_argument(
         "--int8",
+        dest="int8",
         action="store_true",
-        help="int8 PTQ inference (quant.py): backbone/FPN/RPN convs on the "
-        "MXU int8 path, calibrated on a random batch before timing",
+        default=True,
+        help="int8 PTQ inference (quant.py, DEFAULT): conv/matmul kernels "
+        "on the MXU int8 path, calibrated on a random batch before timing. "
+        "Measured accuracy cost on shapes PTQ: -4/-6 box/mask mAP@0.5 pts "
+        "(benchmarks/int8_accuracy.py)",
+    )
+    p.add_argument(
+        "--no-int8", dest="int8", action="store_false",
+        help="bf16 inference instead of int8 PTQ",
     )
     p.add_argument(
         "--pallas-align",
@@ -129,6 +137,8 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(imgs_per_sec / 200.0, 3),
+                "config": ("int8_ptq" if args.int8 else "bf16")
+                + f"_b{args.batch}",
             }
         )
     )

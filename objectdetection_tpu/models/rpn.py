@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from objectdetection_tpu.quant import conv_factory
+from objectdetection_tpu.quant import conv_factory, quantize_act
 
 
 class RPNHead(nn.Module):
@@ -51,14 +51,36 @@ class RPNHead(nn.Module):
         class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw")
         bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred")
 
+        if self.quantized:
+            # one shared activation scale for the relu'd shared-conv output:
+            # quantize it ONCE per level and feed the int8 tensor to both
+            # 1x1 heads. Without this each head re-quantizes the same
+            # [B, H, W, 512] tensor (the P2 copy alone is ~1 GB bf16 at
+            # batch 32) and the shared output materializes in bf16 instead
+            # of int8.
+            shared_scale = self.variable(
+                "quant", "shared_scale", lambda: jnp.zeros((), jnp.float32)
+            )
+
         logits_all: List[Array] = []
         deltas_all: List[Array] = []
         for fm in feature_maps:
             shared = nn.relu(shared_conv(fm))
-            logits = class_conv(shared)
-            b = logits.shape[0]
+            b = shared.shape[0]
+            if self.quantized and not self.is_mutable_collection("quant"):
+                s8 = quantize_act(shared, shared_scale.value)
+                logits = class_conv(s8, in_scale=shared_scale.value)
+                deltas = bbox_conv(s8, in_scale=shared_scale.value)
+            else:
+                if self.quantized:  # calibration: record across all levels
+                    shared_scale.value = jnp.maximum(
+                        shared_scale.value,
+                        jnp.max(jnp.abs(shared.astype(jnp.float32))),
+                    )
+                logits = class_conv(shared)
+                deltas = bbox_conv(shared)
             logits_all.append(logits.reshape(b, -1, 2))
-            deltas_all.append(bbox_conv(shared).reshape(b, -1, 4))
+            deltas_all.append(deltas.reshape(b, -1, 4))
 
         logits = jnp.concatenate(logits_all, axis=1).astype(jnp.float32)
         deltas = jnp.concatenate(deltas_all, axis=1).astype(jnp.float32)
