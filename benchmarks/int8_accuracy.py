@@ -29,6 +29,10 @@ def main():
     p.add_argument("--calib-images", type=int, default=16)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--score-threshold", type=float, default=0.5)
+    p.add_argument(
+        "--percentile", type=float, default=None,
+        help="robust per-chunk-absmax percentile calibration (e.g. 90)",
+    )
     # must match the `odtpu train` invocation that produced the checkpoint
     # (the optimizer-state structure depends on these)
     p.add_argument("--train-steps", type=int, default=3000)
@@ -79,7 +83,8 @@ def main():
     qvars = quant.calibrate_variables(
         {**float_vars, "quant": qskel["quant"]},
         jnp.asarray(calib.images), cfg_q,
-        batch_size=8,
+        batch_size=4,
+        percentile=args.percentile,
     )
     qvars = quant.freeze_weights(qvars)
     res_q = evaluate_on_shapes(

@@ -318,9 +318,19 @@ def freeze_weights(variables):
 
 
 def calibrate_variables(
-    variables, images: Array, config, batch_size: int | None = None
+    variables,
+    images: Array,
+    config,
+    batch_size: int | None = None,
+    percentile: float | None = None,
 ):
     """Record activation scales by running the float forward on `images`.
+
+    With `percentile` (e.g. 90), each calibration chunk records its own
+    absmax and the final scale per tensor is that percentile of the
+    per-chunk absmaxes — robust to single-activation outliers that would
+    otherwise dictate the whole range (requires >= 2 chunks, i.e.
+    batch_size < len(images)).
 
     Runs the full pipeline (extract → proposals → box head → mask head) so
     every QuantConv/QuantDense — backbone, FPN, RPN, and both ROI heads —
@@ -370,10 +380,38 @@ def calibrate_variables(
         return m["quant"]
 
     variables = dict(variables)
+    if percentile is None:
+        for i in range(0, images.shape[0], b):
+            chunk = images[i : i + b]
+            if chunk.shape[0] != b:  # pad the ragged tail, shapes stay static
+                pad = b - chunk.shape[0]
+                chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
+            variables["quant"] = step(variables, chunk)
+        return variables
+
+    # robust calibration: each chunk records its OWN absmax (scales reset to
+    # zero per chunk), then take the given percentile of the per-chunk
+    # absmaxes per scale. A single outlier activation no longer dictates
+    # the whole tensor's quantization range the way a running max does.
+    # reset only the scalar activation scales; kernel_scale vectors (ones
+    # until freeze_weights) must pass through untouched
+    zero_quant = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if x.ndim == 0 else x,
+        variables["quant"],
+    )
+    per_chunk = []
     for i in range(0, images.shape[0], b):
         chunk = images[i : i + b]
-        if chunk.shape[0] != b:  # pad the ragged tail to keep shapes static
+        if chunk.shape[0] != b:
             pad = b - chunk.shape[0]
             chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
-        variables["quant"] = step(variables, chunk)
+        per_chunk.append(step({**variables, "quant": zero_quant}, chunk))
+    if len(per_chunk) < 2:
+        variables["quant"] = per_chunk[0]
+        return variables
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_chunk)
+    variables["quant"] = jax.tree.map(
+        lambda s: jnp.percentile(s.astype(jnp.float32), percentile, axis=0),
+        stacked,
+    )
     return variables

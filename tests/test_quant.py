@@ -130,6 +130,33 @@ class TestQuantConv:
             assert qp[n].shape == fp_[n].shape
 
 
+class TestPercentileCalibration:
+    def test_percentile_resists_outlier_chunk(self):
+        # one chunk with a huge outlier: running-max calibration adopts it,
+        # percentile calibration ignores it
+        from objectdetection_tpu.config import SHAPES_CONFIG
+        from objectdetection_tpu.quant import calibrate_variables
+
+        cfg = SHAPES_CONFIG.replace(quantized_inference=True)
+        variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(4, 128, 128, 3).astype(np.float32) * 255.0 - 128.0
+        imgs[3] *= 100.0  # outlier chunk
+        imgs = jnp.asarray(imgs)
+
+        vmax = calibrate_variables(variables, imgs, cfg, batch_size=1)
+        vp = calibrate_variables(
+            variables, imgs, cfg, batch_size=1, percentile=50
+        )
+        s_max = float(vmax["quant"]["fpn"]["resnet"]["conv1"]["act_scale"])
+        s_p = float(vp["quant"]["fpn"]["resnet"]["conv1"]["act_scale"])
+        assert s_p > 0
+        assert s_p < 0.2 * s_max, (s_p, s_max)
+        # kernel_scale vectors pass through untouched (still ones pre-freeze)
+        ks = vp["quant"]["fpn"]["resnet"]["conv1"]["kernel_scale"]
+        np.testing.assert_array_equal(np.asarray(ks), 1.0)
+
+
 class TestQuantDense:
     def test_exact_vs_float_and_frozen(self):
         from objectdetection_tpu.quant import QuantDense, freeze_weights
