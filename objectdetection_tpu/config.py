@@ -97,6 +97,11 @@ class DetectorConfig:
     # the MXU's int8 path (2x bf16 rate, half the HBM traffic). Requires
     # calibration via quant.calibrate_variables; inference only. See quant.py.
     quantized_inference: bool = False
+    # Run ResNet stage 2 in the 2x2-blocked (space-to-depth) basis: its
+    # 64-channel convs pad to 128 lanes at full spatial resolution on v5e
+    # (half the MXU + double the traffic). Identical math and identical
+    # param/scale layouts; see ops/s2d.py and benchmarks/narrow_conv_probe.
+    s2d_stage2: bool = False
     # Pallas patch-DMA ROIAlign on the inference path (TPU only; auto-falls
     # back to the XLA gather when unsupported — small pyramids, training,
     # non-TPU backends). "all" | "masks" | "off". The mask stage (100

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from objectdetection_tpu.ops.s2d import depth_to_space, space_to_depth
 from objectdetection_tpu.quant import (
     conv_factory,
     dequantize_act,
@@ -42,10 +43,11 @@ class FrozenBatchNorm(nn.Module):
     epsilon: float = 1e-3
     dtype: Any = jnp.float32
     scale_init: Any = nn.initializers.ones
+    s2d: bool = False  # input is 2x2-blocked [..., 4C]; params stay [C]
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        c = x.shape[-1]
+        c = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable(
@@ -55,7 +57,10 @@ class FrozenBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         ).value
         inv = scale / jnp.sqrt(var + self.epsilon)
-        y = x * inv.astype(self.dtype) + (bias - mean * inv).astype(self.dtype)
+        shift = bias - mean * inv
+        if self.s2d:
+            inv, shift = jnp.tile(inv, 4), jnp.tile(shift, 4)
+        y = x * inv.astype(self.dtype) + shift.astype(self.dtype)
         return y
 
 
@@ -69,11 +74,14 @@ class BottleneckBlock(nn.Module):
     block: str = "a"
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 conv path (inference PTQ, see quant.py)
+    s2d: bool = False  # 2x2-blocked basis (stride-1 stages; see ops/s2d.py)
 
     @nn.compact
     def __call__(self, x):
         """x: float [B,H,W,C] — or, on the int8 inference path, a carried
         ``(int8 tensor, scale)`` pair. Returns the same kind it was given.
+        With ``s2d``, tensors are 2x2-blocked [B, H/2, W/2, 4C] (params and
+        recorded scales are identical to the unblocked layout).
 
         The int8-carried residual stream is the key to the quantized
         backbone's bandwidth win: block inputs/outputs and the shortcut all
@@ -81,11 +89,16 @@ class BottleneckBlock(nn.Module):
         nothing in a stage's steady state touches HBM at more than 1 B/elt.
         """
         f1, f2, f3 = self.filters
+        if self.s2d:
+            assert self.stride == 1, "s2d blocks are stride-1 only"
         make_conv = conv_factory(self.quantized, self.dtype)
         conv = lambda f, k, s, name: make_conv(
-            f, (k, k), strides=(s, s), padding="SAME", name=name
+            f, (k, k), strides=(s, s), padding="SAME", name=name,
+            s2d=self.s2d,
         )
-        bn = lambda name: FrozenBatchNorm(name=name, dtype=self.dtype)
+        bn = lambda name: FrozenBatchNorm(
+            name=name, dtype=self.dtype, s2d=self.s2d
+        )
         cn = f"res{self.stage}{self.block}_branch"
         bnn = f"bn{self.stage}{self.block}_branch"
         bn2c = FrozenBatchNorm(
@@ -93,7 +106,7 @@ class BottleneckBlock(nn.Module):
             # identity, keeping from-scratch activations bounded (loaded
             # checkpoints overwrite the scale). Standard ResNet practice.
             name=bnn + "2c", dtype=self.dtype,
-            scale_init=nn.initializers.zeros,
+            scale_init=nn.initializers.zeros, s2d=self.s2d,
         )
         if self.quantized:
             out_scale = self.variable(
@@ -243,6 +256,7 @@ class ResNetBottomUp(nn.Module):
     conv1_space_to_depth: bool = False
     remat: bool = False  # rematerialize blocks in the backward pass
     quantized: bool = False
+    s2d_stage2: bool = False  # run stage 2 in the 2x2-blocked basis
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -281,21 +295,41 @@ class ResNetBottomUp(nn.Module):
         # training at 1024² (SURVEY.md: remat is the TPU-native lever here)
         block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
 
-        def stage(x, stage_idx, filters, first_stride, num_blocks):
+        def stage(x, stage_idx, filters, first_stride, num_blocks, s2d=False):
             x = block_cls(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
-                quantized=self.quantized, name=f"res{stage_idx}a",
+                quantized=self.quantized, s2d=s2d, name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
                 x = block_cls(
                     filters, stage=stage_idx, block=blk, dtype=dt,
-                    quantized=self.quantized, name=f"res{stage_idx}{blk}",
+                    quantized=self.quantized, s2d=s2d,
+                    name=f"res{stage_idx}{blk}",
                 )(x)
             return x
 
-        c2 = stage(x, 2, (64, 64, 256), 1, 3)
+        use_s2d = self.s2d_stage2 and x.shape[1] % 2 == 0 if not isinstance(
+            x, tuple
+        ) else self.s2d_stage2 and x[0].shape[1] % 2 == 0
+        if use_s2d:
+            # stage 2's 64-channel convs pad to 128 lanes at full spatial
+            # resolution (measured 14-52 TF/s vs 185 in the blocked basis,
+            # benchmarks/narrow_conv_probe.py) — run the whole stage on
+            # 2x2-blocked [B, H/2, W/2, 4C] tensors (identical math and
+            # identical params/scales), then unblock for the consumers.
+            if isinstance(x, tuple):
+                x = (space_to_depth(x[0]), x[1])
+            else:
+                x = space_to_depth(x)
+            c2b = stage(x, 2, (64, 64, 256), 1, 3, s2d=True)
+            if isinstance(c2b, tuple):
+                c2 = (depth_to_space(c2b[0]), c2b[1])
+            else:
+                c2 = depth_to_space(c2b)
+        else:
+            c2 = stage(x, 2, (64, 64, 256), 1, 3)
         c3 = stage(c2, 3, (128, 128, 512), 2, 4)
         c4 = stage(c3, 4, (256, 256, 1024), 2, 1 + RESNET_STAGE4_BLOCKS[self.model])
         c5 = stage(c4, 5, (512, 512, 2048), 2, 3)
@@ -322,6 +356,7 @@ class ResNetFPN(nn.Module):
     conv1_space_to_depth: bool = False
     remat: bool = False
     quantized: bool = False
+    s2d_stage2: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -329,7 +364,8 @@ class ResNetFPN(nn.Module):
         c2, c3, c4, c5 = ResNetBottomUp(
             model=self.model, dtype=dt,
             conv1_space_to_depth=self.conv1_space_to_depth,
-            remat=self.remat, quantized=self.quantized, name="resnet",
+            remat=self.remat, quantized=self.quantized,
+            s2d_stage2=self.s2d_stage2, name="resnet",
         )(images)
 
         make_conv = conv_factory(self.quantized, dt)

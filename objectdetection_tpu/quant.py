@@ -84,6 +84,11 @@ class QuantConv(nn.Module):
     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME"
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # 2x2-blocked (space-to-depth) basis: inputs/outputs are [..., 4C]
+    # blocked tensors; params keep canonical shapes and are transformed at
+    # apply time (ops/s2d.py). Stride must be 1. Narrow-channel stages run
+    # ~3x faster in this basis on v5e (lane-padding avoidance).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, in_scale: Array | None = None) -> Array:
@@ -97,7 +102,9 @@ class QuantConv(nn.Module):
           in_scale: activation scale of a pre-quantized int8 `x`.
         """
         kh, kw = self.kernel_size
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+        if self.s2d:
+            assert self.strides == (1, 1) and kh in (1, 3)
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -126,6 +133,17 @@ class QuantConv(nn.Module):
         if not isinstance(padding, str):
             padding = tuple(tuple(p) for p in padding)
 
+        if self.s2d:
+            from objectdetection_tpu.ops.s2d import (
+                blocked_1x1_kernel,
+                blocked_3x3_kernel,
+            )
+
+            xk = blocked_1x1_kernel if kh == 1 else blocked_3x3_kernel
+            xc = lambda v: jnp.tile(v, 4)  # per-out-channel vectors
+        else:
+            xk = xc = lambda v: v
+
         if self.is_mutable_collection("quant"):
             # --- calibration: exact float forward + absmax recording ---
             assert kernel.dtype != jnp.int8, (
@@ -136,7 +154,7 @@ class QuantConv(nn.Module):
             )
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
-                kernel.astype(self.dtype),
+                xk(kernel).astype(self.dtype),
                 window_strides=self.strides,
                 padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -155,16 +173,16 @@ class QuantConv(nn.Module):
                 k8, sw = weight_qparams(kernel)
             y32 = jax.lax.conv_general_dilated(
                 x8,
-                k8,
+                xk(k8),
                 window_strides=self.strides,
                 padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            y = y32.astype(jnp.float32) * (sx * sw)
+            y = y32.astype(jnp.float32) * (sx * xc(sw))
             y = y.astype(self.dtype)
         if bias is not None:
-            y = y + bias.astype(self.dtype)
+            y = y + xc(bias).astype(self.dtype)
         return y
 
 
@@ -242,12 +260,57 @@ def dense_factory(quantized: bool, dtype: Any):
     return make
 
 
-def conv_factory(quantized: bool, dtype: Any):
-    """Returns a `(features, kernel, strides, padding, name) -> Module`
-    constructor: ``nn.Conv`` normally, :class:`QuantConv` when quantized.
+class S2DConv(nn.Module):
+    """Float conv in the 2x2-blocked basis with canonical param shapes.
+
+    Params match ``nn.Conv`` ([kh, kw, Ci, Co] kernel, [Co] bias) so
+    checkpoints are layout-independent; inputs/outputs are blocked
+    [..., 4C] tensors. Stride-1 only. See ops/s2d.py.
     """
 
-    def make(features, kernel_size, strides=(1, 1), padding="SAME", name=None):
+    features: int
+    kernel_size: Tuple[int, int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from objectdetection_tpu.ops.s2d import (
+            blocked_1x1_kernel,
+            blocked_3x3_kernel,
+        )
+
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        xk = blocked_1x1_kernel if kh == 1 else blocked_3x3_kernel
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            xk(kernel).astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + jnp.tile(bias, 4).astype(self.dtype)
+
+
+def conv_factory(quantized: bool, dtype: Any):
+    """Returns a `(features, kernel, strides, padding, name) -> Module`
+    constructor: ``nn.Conv`` normally, :class:`QuantConv` when quantized,
+    and the blocked-basis variants with ``s2d=True``.
+    """
+
+    def make(
+        features, kernel_size, strides=(1, 1), padding="SAME", name=None,
+        s2d=False,
+    ):
         if quantized:
             return QuantConv(
                 features=features,
@@ -255,6 +318,13 @@ def conv_factory(quantized: bool, dtype: Any):
                 strides=strides,
                 padding=padding,
                 dtype=dtype,
+                s2d=s2d,
+                name=name,
+            )
+        if s2d:
+            assert strides == (1, 1)
+            return S2DConv(
+                features=features, kernel_size=kernel_size, dtype=dtype,
                 name=name,
             )
         return nn.Conv(
