@@ -37,10 +37,30 @@ def main():
         help="bf16 inference instead of int8 PTQ",
     )
     p.add_argument(
+        "--quant-cache",
+        default="auto",
+        help="path of the persisted calibrated+frozen int8 artifact "
+        "(checkpoint.save_quantized). 'auto' (default) keys a path under "
+        "artifacts/ by backbone/size; 'off' disables caching. First run "
+        "calibrates and saves; later runs load in seconds instead of "
+        "re-calibrating (~9 min on the TPU relay).",
+    )
+    p.add_argument(
         "--pallas-align",
         choices=["all", "masks", "off"],
         default=None,
         help="override cfg.pallas_roi_align (Pallas patch-DMA ROIAlign)",
+    )
+    p.add_argument(
+        "--s2d-stage2",
+        dest="s2d_stage2",
+        action="store_true",
+        default=None,
+        help="run ResNet stage 2 in the 2x2-blocked basis (ops/s2d.py; "
+        "narrow-channel lane-padding fix)",
+    )
+    p.add_argument(
+        "--no-s2d-stage2", dest="s2d_stage2", action="store_false",
     )
     args = p.parse_args()
 
@@ -59,6 +79,8 @@ def main():
     )
     if args.pallas_align is not None:
         cfg = cfg.replace(pallas_roi_align=args.pallas_align)
+    if args.s2d_stage2 is not None:
+        cfg = cfg.replace(s2d_stage2=args.s2d_stage2)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
@@ -81,12 +103,42 @@ def main():
     )
 
     if args.int8:
-        from objectdetection_tpu import quant
+        import os
 
-        t0 = time.time()
-        variables = quant.calibrate_variables(variables, images, cfg)
-        variables = quant.freeze_weights(variables)
-        print(f"int8 calibration+freeze: {time.time() - t0:.1f}s", file=sys.stderr)
+        from objectdetection_tpu import checkpoint, quant
+
+        cache = args.quant_cache
+        if cache == "auto":
+            cache = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "artifacts",
+                f"quant_{args.backbone}_{args.image_size}.ckpt",
+            )
+        loaded = False
+        if cache != "off" and os.path.isdir(cache):
+            t0 = time.time()
+            try:
+                variables = jax.device_put(checkpoint.load_quantized(cache))
+                loaded = True
+                print(
+                    f"int8 artifact loaded from {cache}: "
+                    f"{time.time() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # stale/mismatched artifact → recalibrate
+                print(f"quant cache load failed ({e}); recalibrating",
+                      file=sys.stderr)
+        if not loaded:
+            t0 = time.time()
+            variables = quant.calibrate_variables(variables, images, cfg)
+            variables = quant.freeze_weights(variables)
+            print(
+                f"int8 calibration+freeze: {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            if cache != "off":
+                checkpoint.save_quantized(cache, variables)
+                print(f"int8 artifact saved to {cache}", file=sys.stderr)
 
     # Timing methodology: this box reaches the TPU through a relay where
     # block_until_ready is a no-op and every dispatch costs ~40 ms, so we

@@ -50,6 +50,40 @@ def load_checkpoint(path: str, like: Any) -> Any:
     return ckptr.restore(path, like)
 
 
+def save_quantized(path: str, variables: Any) -> None:
+    """Persist a calibrated+frozen int8 serving artifact.
+
+    `variables` should be the output of ``quant.freeze_weights(
+    quant.calibrate_variables(...))``: int8 kernels, per-channel
+    ``kernel_scale`` vectors and activation scales in the ``quant``
+    collection. Loading it back skips the whole calibrate+freeze pass
+    (~9 min at COCO scale on the TPU relay), which makes int8 serving
+    deployable — the reference's closest analog is the pretrained-h5
+    ingest (load_params.py:76-162), which also exists to avoid
+    recomputing weights at startup.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, variables)
+    ckptr.wait_until_finished()
+
+
+def load_quantized(path: str) -> Any:
+    """Restore an artifact saved by :func:`save_quantized`.
+
+    Restores with the *saved* dtypes (int8 kernels stay int8) and no
+    template tree, so callers don't need to rebuild the variable structure
+    first.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
 def cast_params_for_inference(variables, dtype=None):
     """Cast floating-point params to the compute dtype once.
 

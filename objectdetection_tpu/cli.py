@@ -354,10 +354,95 @@ def cmd_eval_coco(args):
     print(f"final: mAP={results['mAP']:.4f} @ {ips:.1f} img/s")
 
 
+def cmd_quantize(args):
+    """Produce a persisted int8 serving artifact (calibrate + freeze + save).
+
+    The artifact (checkpoint.save_quantized) is loaded by `odtpu serve
+    --quant DIR` / `bench.py --quant-cache DIR` in seconds, instead of
+    re-running the ~minutes-long calibration pass at every startup.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from objectdetection_tpu import checkpoint, detector, quant
+    from objectdetection_tpu.config import COCO_CONFIG, SHAPES_CONFIG
+
+    shapes = args.config == "shapes"
+    cfg = (SHAPES_CONFIG if shapes else COCO_CONFIG).replace(
+        quantized_inference=True
+    )
+    if args.post_nms:
+        cfg = cfg.replace(
+            post_nms_rois_training=args.post_nms,
+            post_nms_rois_inference=min(
+                cfg.post_nms_rois_inference, args.post_nms
+            ),
+            pre_nms_rois_count=min(cfg.pre_nms_rois_count, 8 * args.post_nms),
+        )
+
+    variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+    if args.ckpt:
+        # orbax train checkpoint: restore params/batch_stats into the quant
+        # skeleton (the saved optimizer state is not needed for serving)
+        tcfg = cfg.replace(
+            quantized_inference=False,
+            learning_rate=args.lr,
+            lr_schedule=args.lr_schedule,
+            warmup_steps=max(args.train_steps // 20, 10),
+            total_train_steps=args.train_steps,
+        )
+        state = detector.create_train_state(tcfg, jax.random.PRNGKey(0))
+        state = checkpoint.load_checkpoint(args.ckpt, state)
+        print(f"restored step {int(state.step)}", file=sys.stderr)
+        variables = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "quant": variables["quant"],
+        }
+    elif args.weights:
+        variables = checkpoint.load_matterport_h5(args.weights, variables)
+
+    # calibration batch: shapes dataset for the shapes config, random
+    # pixel-scale images otherwise (document the caveat)
+    n = args.calib_images
+    if shapes:
+        from objectdetection_tpu.data.shapes import ShapesDataset
+
+        ds = ShapesDataset(n, cfg.image_shape[0], cfg.image_shape[1],
+                           seed=args.seed)
+        images = jnp.asarray(ds.load_batch(list(range(n)), cfg).images)
+    else:
+        print(
+            "calibrating on random images (pass --ckpt/--config shapes or "
+            "extend with a real calibration set for production scales)",
+            file=sys.stderr,
+        )
+        rng = np.random.RandomState(args.seed)
+        h, w = cfg.image_shape[:2]
+        images = jnp.asarray(
+            rng.rand(n, h, w, 3).astype(np.float32) * 255.0 - 128.0
+        )
+
+    variables = quant.calibrate_variables(
+        variables, images, cfg,
+        batch_size=args.batch_size or None,
+        percentile=args.percentile,
+    )
+    variables = quant.freeze_weights(variables)
+    checkpoint.save_quantized(args.out, variables)
+    print(f"int8 artifact saved to {args.out}")
+
+
 def cmd_serve(args):
     from objectdetection_tpu.serve import serve
 
-    serve(port=args.port, weights=args.weights or None, host=args.host)
+    serve(
+        port=args.port,
+        weights=args.weights or None,
+        host=args.host,
+        quantized=args.quant or None,
+    )
 
 
 def cmd_bench(args):
@@ -448,10 +533,32 @@ def main(argv=None):
     e.add_argument("--data-parallel", action="store_true")
     e.set_defaults(fn=cmd_eval_coco)
 
+    q = sub.add_parser(
+        "quantize", help="produce a persisted int8 serving artifact"
+    )
+    q.add_argument("--out", required=True, help="artifact output dir")
+    q.add_argument("--config", choices=["shapes", "coco"], default="shapes")
+    q.add_argument("--ckpt", default="", help="orbax train checkpoint dir")
+    q.add_argument("--weights", default="", help="matterport h5")
+    q.add_argument("--calib-images", type=int, default=16)
+    q.add_argument("--batch-size", type=int, default=4)
+    q.add_argument("--percentile", type=float, default=None,
+                   help="robust per-chunk-absmax percentile (e.g. 99.5)")
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--post-nms", type=int, default=0,
+                   help="match the post-nms budget of the train run")
+    # must match the run that produced --ckpt (optimizer-state structure)
+    q.add_argument("--train-steps", type=int, default=3000)
+    q.add_argument("--lr", type=float, default=0.003)
+    q.add_argument("--lr-schedule", default="warmup_cosine")
+    q.set_defaults(fn=cmd_quantize)
+
     s = sub.add_parser("serve", help="HTTP inference server")
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--weights", default="")
+    s.add_argument("--quant", default="",
+                   help="int8 artifact dir from `odtpu quantize`")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="throughput benchmark")

@@ -110,7 +110,14 @@ def serve(
     config=None,
     class_names=None,
     block: bool = True,
+    quantized: Optional[str] = None,
 ):
+    """Start the HTTP inference server.
+
+    `quantized` is the directory of a persisted int8 artifact produced by
+    `odtpu quantize` (checkpoint.save_quantized): the calibrated + frozen
+    variables load in seconds and inference runs the int8 MXU path.
+    """
     import jax
 
     from objectdetection_tpu import checkpoint, detector
@@ -120,11 +127,15 @@ def serve(
     cfg = config or COCO_CONFIG
     if class_names is None:
         class_names = COCO_CLASS_NAMES
-    variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
-    if weights:
-        variables = checkpoint.load_matterport_h5(weights, variables)
-    # serving is inference-only: pre-cast weights to the compute dtype once
-    variables = checkpoint.cast_params_for_inference(variables)
+    if quantized:
+        cfg = cfg.replace(quantized_inference=True)
+        variables = jax.device_put(checkpoint.load_quantized(quantized))
+    else:
+        variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+        if weights:
+            variables = checkpoint.load_matterport_h5(weights, variables)
+        # serving is inference-only: pre-cast weights to the compute dtype once
+        variables = checkpoint.cast_params_for_inference(variables)
     infer_fn = detector.make_infer_fn(cfg, with_masks=False)
 
     # warm the compile before accepting traffic

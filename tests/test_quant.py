@@ -300,3 +300,37 @@ class TestEndToEndQuantized:
         nq = int(det_q.valid.sum())
         nz = int(det_z.valid.sum())
         assert abs(nq - nz) <= 2, (nq, nz)
+
+    def test_quant_artifact_roundtrip(self, setup, tmp_path):
+        """save_quantized → load_quantized preserves dtypes and numerics.
+
+        The persisted artifact is the serving deployable (`odtpu quantize`,
+        bench.py --quant-cache): the restored tree must reproduce the frozen
+        variables' detections exactly, with int8 kernels staying int8.
+        """
+        from objectdetection_tpu import checkpoint
+        from objectdetection_tpu.quant import freeze_weights
+
+        cfg_q, variables, imgs, windows = setup
+        fz = freeze_weights(variables)
+        path = str(tmp_path / "qart")
+        checkpoint.save_quantized(path, fz)
+        back = checkpoint.load_quantized(path)
+
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(fz)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0],
+        ):
+            assert pa == pb
+            assert a.dtype == b.dtype, (pa, a.dtype, b.dtype)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), pa
+
+        run = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_q)
+        )
+        det_a = run(fz, imgs, windows)
+        det_b = run(back, imgs, windows)
+        assert np.array_equal(np.asarray(det_a.boxes), np.asarray(det_b.boxes))
+        assert np.array_equal(
+            np.asarray(det_a.scores), np.asarray(det_b.scores)
+        )
