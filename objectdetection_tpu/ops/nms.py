@@ -148,8 +148,20 @@ def non_max_suppression(
         svalid = jnp.take(valid, order)
         sclass = jnp.take(class_ids, order)
 
-    # Invalid boxes are zeroed: zero-area boxes have IoU 0 with everything so
-    # they neither suppress nor survive.
+    # tf.image.non_max_suppression canonicalizes corners (min/max) before
+    # computing IoU — matters only for inverted boxes, which real decoded
+    # proposals never produce, but exact parity with the reference's NMS
+    # requires it (tests/test_reference_goldens.py).
+    sboxes = jnp.concatenate(
+        [
+            jnp.minimum(sboxes[:, 0:2], sboxes[:, 2:4]),
+            jnp.maximum(sboxes[:, 0:2], sboxes[:, 2:4]),
+        ],
+        axis=1,
+    )
+    # Invalid boxes are zeroed: zero boxes have IoU 0 with everything so
+    # they neither suppress nor survive (the all-zero row doubles as the
+    # "suppressed" marker in the tile loop below and the Pallas kernel).
     sboxes = jnp.where(svalid[:, None], sboxes, 0.0)
 
     sboxes = _pad_to_multiple(sboxes, tile_size, axis=0, value=0.0)
@@ -198,11 +210,12 @@ def non_max_suppression(
 
 def _finalize(out_boxes, svalid, order, n, max_output) -> NMSResult:
     """Survivor table → compact (indices, valid) in descending-score order."""
-    # A surviving box is a valid input with nonzero coordinates left intact.
-    area = (out_boxes[:n, 2] - out_boxes[:n, 0]) * (
-        out_boxes[:n, 3] - out_boxes[:n, 1]
-    )
-    kept = svalid[:n] & (area > 0)
+    # A surviving box is a valid input whose (canonicalized) row was left
+    # intact — nonzero, since suppression zeroes rows. Zero-AREA boxes are
+    # legitimate survivors exactly as in tf.image.non_max_suppression
+    # (their IoU with everything is 0); e.g. proposals clipped flat against
+    # the window edge pass through, matching proposals_tf.py:218-247.
+    kept = svalid[:n] & jnp.any(out_boxes[:n] != 0.0, axis=1)
 
     # Compact the first `k` kept indices to the front, preserving score
     # order: top_k over descending-position keys (kept row i ↦ key n-i,
