@@ -37,6 +37,37 @@ class TestResizeParams:
         assert abs(scale - 0.64) < 1e-6
         assert nw == 128
 
+    def test_min_scale_golden_vs_reference_port(self):
+        """Nonzero min_scale vs a direct numpy port of utils.py:78-120
+        (reference signature parity: scale = max(scale, min_scale) BEFORE
+        the max_dim cap, so min_scale can still be overridden by the cap)."""
+
+        def reference_port(h, w, min_dim, max_dim, min_scale):
+            scale = max(1, min_dim / min(h, w))
+            scale = max(scale, min_scale) if min_scale else scale
+            scale = min(scale, max_dim / max(h, w))
+            nh, nw = round(h * scale), round(w * scale)
+            return scale, nh, nw, (max_dim - nh) // 2, (max_dim - nw) // 2
+
+        cases = [
+            # min_scale raises the scale above the min_dim rule
+            (64, 80, 100, 256, 2.5),
+            # min_scale set but beaten by the max_dim cap
+            (50, 200, 100, 128, 3.0),
+            # min_scale below the natural scale: no effect
+            (64, 80, 100, 128, 1.1),
+            # square input
+            (100, 100, 100, 200, 1.7),
+        ]
+        for h, w, min_dim, max_dim, ms in cases:
+            want = reference_port(h, w, min_dim, max_dim, ms)
+            got = [
+                float(v)
+                for v in compute_resize_params(h, w, min_dim, max_dim, ms)
+            ]
+            assert abs(got[0] - want[0]) < 1e-6, (h, w, ms)
+            assert got[1:] == [float(v) for v in want[1:]], (h, w, ms, got, want)
+
 
 class TestMoldParity:
     def test_device_matches_host(self):
