@@ -19,7 +19,10 @@ from objectdetection_tpu.config import COCO_CONFIG
 from objectdetection_tpu.geometry import apply_box_deltas, clip_boxes
 from objectdetection_tpu.ops.nms import nms_boxes
 
-B = 32
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=32)
+B = _ap.parse_args().batch
 PRE = 6000
 POST = 1000
 

@@ -12,6 +12,8 @@ inputs:
   detection.py:285-309).
 - reference_crop_resize.npz: raw `tf.image.crop_and_resize` — the native
   op behind the reference ROIAlign (maskrcnn.py:152-154).
+- reference_mrcnn_head.npz: the reference MaskRCNN ROI-pooling + raw-TF
+  box/class head (maskrcnn.py:74-239) with its recorded random weights.
 
 Unlike test_golden_regression.py (self-generated refactor guard), a failure
 here means this framework's numerics drifted from the REFERENCE's own
@@ -26,6 +28,20 @@ import numpy as np
 import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+
+
+def golden_weights(g, seed):
+    """Rebuild the seeded TF-variable values recorded by the generator
+    (only names+shapes are stored; values regenerate deterministically)."""
+    import sys
+
+    sys.path.insert(0, TOOLS)
+    from gen_reference_goldens import seeded_weights
+
+    names = [str(n) for n in g["var_names"]]
+    shapes = [tuple(int(d) for d in g[f"var_shape__{i}"]) for i in range(len(names))]
+    return seeded_weights(list(zip(names, shapes)), seed=seed)
 
 
 def load(name):
@@ -120,6 +136,123 @@ class TestReferenceDetection:
         np.testing.assert_allclose(
             got[:n_got, 5], want[:n_want, 5], atol=1e-4
         )
+
+
+class TestReferenceBoxHead:
+    """ops/roi_align + models/heads.BoxClassHead == the reference MaskRCNN
+    ROI pooling + raw-TF classifier (maskrcnn.py:74-294), run with the
+    reference's own recorded weights.
+
+    The raw-TF head has no BN (maskrcnn.py:191-193 keeps matterport's
+    small-batch advice); the flax head's FrozenBatchNorm is neutralized
+    exactly with scale = sqrt(1 + eps).
+    """
+
+    def test_pooled_rois_match(self):
+        g = load("reference_mrcnn_head.npz")
+        import sys
+
+        sys.path.insert(0, TOOLS)
+        from gen_reference_goldens import make_mrcnn_head_inputs
+        from objectdetection_tpu.ops.roi_align import (
+            batched_multilevel_roi_align,
+        )
+
+        feats_np, proposals = make_mrcnn_head_inputs()
+        feats = [jnp.asarray(f) for f in feats_np]
+        got = batched_multilevel_roi_align(
+            feats, jnp.asarray(proposals), (1024, 1024), (7, 7)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), g["pooled"], atol=1e-4
+        )
+
+    def test_head_outputs_match(self):
+        g = load("reference_mrcnn_head.npz")
+        from objectdetection_tpu.models.heads import BoxClassHead
+
+        nc = int(g["probs"].shape[-1])
+        pooled = jnp.asarray(g["pooled"])  # [1, 100, 7, 7, 256]
+        wvals = golden_weights(g, seed=1234)
+
+        def w(name):
+            return wvals[name.replace("__", "/") + ":0"]
+
+        neutral_scale = np.full((1024,), np.sqrt(1.0 + 1e-3), np.float32)
+        params = {
+            "mrcnn_class_conv1": {
+                # TF conv kernel [7,7,256,1024] flattens (y,x,c)-major,
+                # matching pooled.reshape(b, r, ph*pw*c)
+                "kernel": w("mrcnn_class_conv1__kernel").reshape(-1, 1024),
+                "bias": w("mrcnn_class_conv1__bias"),
+            },
+            "mrcnn_class_conv2": {
+                "kernel": w("mrcnn_class_conv2__kernel").reshape(1024, 1024),
+                "bias": w("mrcnn_class_conv2__bias"),
+            },
+            "mrcnn_class_bn1": {
+                "scale": neutral_scale, "bias": np.zeros(1024, np.float32),
+            },
+            "mrcnn_class_bn2": {
+                "scale": neutral_scale, "bias": np.zeros(1024, np.float32),
+            },
+            "mrcnn_class_logits": {
+                "kernel": w("mrcnn_class_scores__mrcnn_class_logits__kernel"),
+                "bias": w("mrcnn_class_scores__mrcnn_class_logits__bias"),
+            },
+            "mrcnn_bbox_fc": {
+                "kernel": w("mrcnn_class_bbox__mrcnn_bbox__kernel"),
+                "bias": w("mrcnn_class_bbox__mrcnn_bbox__bias"),
+            },
+        }
+        batch_stats = {
+            f"mrcnn_class_bn{i}": {
+                "mean": np.zeros(1024, np.float32),
+                "var": np.ones(1024, np.float32),
+            }
+            for i in (1, 2)
+        }
+        head = BoxClassHead(num_classes=nc)
+        logits, probs, bbox = head.apply(
+            {"params": params, "batch_stats": batch_stats}, pooled
+        )
+        np.testing.assert_allclose(
+            np.asarray(probs), g["probs"], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(bbox), g["bbox"], atol=1e-3
+        )
+
+
+class TestReferenceRPN:
+    """models/rpn.RPNHead == the reference RPN raw-TF graph (rpn.py:72-148)
+    with the reference's own recorded weights, single level at stride 1."""
+
+    def test_rpn_outputs_match(self):
+        g = load("reference_rpn.npz")
+        import sys
+
+        sys.path.insert(0, TOOLS)
+        from gen_reference_goldens import make_rpn_input
+        from objectdetection_tpu.models.rpn import RPNHead
+
+        wvals = golden_weights(g, seed=4321)
+        params = {
+            name: {
+                "kernel": wvals[f"{name}/kernel:0"],
+                "bias": wvals[f"{name}/bias:0"],
+            }
+            for name in ("rpn_conv_shared", "rpn_class_raw", "rpn_bbox_pred")
+        }
+        head = RPNHead(anchors_per_location=3)
+        logits, probs, deltas = head.apply(
+            {"params": params}, [jnp.asarray(make_rpn_input())]
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), g["logits"], atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(probs), g["probs"], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(deltas), g["bbox"], atol=1e-4)
 
 
 class TestReferenceCropAndResize:

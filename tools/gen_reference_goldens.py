@@ -18,6 +18,12 @@ Provenance of each fixture:
   reference_crop_resize.npz tf.image.crop_and_resize — the native op behind
                             the reference ROIAlign (maskrcnn.py:152-154)
                             and FasterRCNN roi_pool (fastrcnn.py:68)
+  reference_mrcnn_head.npz  MaskRCNN/building_blocks/maskrcnn.py:74-294
+                            (ROI pooling + raw-TF classifier, seeded
+                            assigned weights; inputs/weights regenerate
+                            from seeds — only outputs stored)
+  reference_rpn.npz         MaskRCNN/building_blocks/rpn.py:72-148
+                            (raw-TF build() path, seeded assigned weights)
 
 Run from anywhere; it chdirs to a temp dir because the reference modules
 configure ``logging`` to write ``logfile.log`` into the CWD (utils.py:12-13)
@@ -180,11 +186,153 @@ def gen_crop_resize(tf1):
     np.savez(os.path.join(GOLDEN_DIR, "reference_crop_resize.npz"), **out)
 
 
+def make_mrcnn_head_inputs():
+    """Seeded inputs for the mrcnn-head golden: pyramid P2-P5 + proposals.
+
+    Shared by the generator AND tests/test_reference_goldens.py — the npz
+    stores only the reference's OUTPUTS (inputs/weights regenerate exactly
+    from the seeds; np.random.RandomState is bit-stable across platforms),
+    keeping the fixture a few MB instead of 136 MB of recorded weights.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(255)
+    b, r = 1, 100
+    feats = [
+        rng.rand(b, 256, 256, 256).astype("float32"),
+        rng.rand(b, 128, 128, 256).astype("float32"),
+        rng.rand(b, 64, 64, 256).astype("float32"),
+        rng.rand(b, 32, 32, 256).astype("float32"),
+    ]
+    # well-formed normalized proposals (y1<y2, x1<x2), log-uniform sizes so
+    # every pyramid level is exercised
+    cy = rng.rand(b, r) * 0.8 + 0.1
+    cx = rng.rand(b, r) * 0.8 + 0.1
+    s = np.exp(rng.rand(b, r) * np.log(0.9 / 0.01) + np.log(0.01)) / 2
+    proposals = np.stack(
+        [cy - s, cx - s, cy + s, cx + s], -1
+    ).clip(0.0, 1.0).astype("float32")
+    return feats, proposals
+
+
+def seeded_weights(names_shapes, seed=1234, scale=0.02):
+    """Deterministic weight values for a sorted (name, shape) list.
+
+    Drawn sequentially from ONE RandomState in name-sorted order, so the
+    test side rebuilds identical values from the npz's recorded shapes.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return {
+        name: (rng.standard_normal(shape) * scale).astype("float32")
+        for name, shape in names_shapes
+    }
+
+
+def gen_mrcnn_head(tf1):
+    """Reference ROI pooling + raw-TF box/class head (maskrcnn.py:74-239)
+    with seeded ASSIGNED weights: pyramid P2-P5 + proposals in, pooled ROIs
+    + class probs + per-class deltas out. The raw-TF head has no BN
+    (maskrcnn.py:193-194 note), so the flax head's FrozenBatchNorm must be
+    neutralized when comparing."""
+    import numpy as np
+    from MaskRCNN.building_blocks.maskrcnn import MaskRCNN
+
+    feats, proposals = make_mrcnn_head_inputs()
+    nc = 4
+
+    tf1.reset_default_graph()
+    obj = MaskRCNN(
+        image_shape=[1024, 1024, 3],
+        pool_shape=[7, 7],
+        num_classes=nc,
+        levels=[2, 3, 4, 5],
+        proposals=proposals,
+        feature_maps=feats,
+        type="tf",
+    )
+    # get_mrcnn_graph assumes the keras path set mrcnn_class_logits (a
+    # reference bug for type='tf'); read the tensors off the object instead
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    names_shapes = [(v.name, v.shape.as_list()) for v in tvars]
+    wvals = seeded_weights(names_shapes)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        pooled, probs, bbox = sess.run(
+            [obj.get_pooled_rois(), obj.mrcnn_class_probs, obj.mrcnn_bbox]
+        )
+    print("mrcnn pooled", pooled.shape, "probs", probs.shape,
+          "bbox", bbox.shape, "vars", [n for n, _ in names_shapes])
+    out = {
+        "pooled": pooled,
+        "probs": probs,
+        "bbox": bbox,
+        "var_names": np.array([n for n, _ in names_shapes]),
+    }
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"var_shape__{i}"] = np.asarray(shape, np.int64)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "reference_mrcnn_head.npz"), **out
+    )
+
+
+def make_rpn_input():
+    """Seeded RPN input feature map (shared with the test side)."""
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    return rng.rand(2, 32, 32, 256).astype("float32") * 2 - 1
+
+
+def gen_rpn(tf1):
+    """Reference RPN raw-TF path (rpn.py:72-148) with recorded weights.
+
+    `RPN.__init__` hardcodes the keras build (rpn.py:31), so instantiate via
+    __new__ and call the raw-TF `build()` directly. One pyramid level at
+    stride 1 (the committed RPN_ANCHOR_STRIDE); weights recorded so this
+    framework's RPNHead can run the identical computation.
+    """
+    import numpy as np
+    from MaskRCNN.building_blocks.rpn import RPN
+
+    fmap = make_rpn_input()
+
+    tf1.reset_default_graph()
+    obj = RPN.__new__(RPN)
+    obj.rpn_anchor_stride = 1
+    obj.rpn_anchor_ratios = [0.5, 1, 2]
+    obj.xrpn = tf1.placeholder(tf1.float32, [None, 32, 32, 256], "xrpn")
+    obj.build()
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    names_shapes = [(v.name, v.shape.as_list()) for v in tvars]
+    wvals = seeded_weights(names_shapes, seed=4321)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        logits, probs, bbox = sess.run(
+            [obj.rpn_class_logits, obj.rpn_class_probs, obj.rpn_bbox],
+            feed_dict={obj.xrpn: fmap},
+        )
+    print("rpn logits", logits.shape, "probs", probs.shape,
+          "bbox", bbox.shape, "vars", [n for n, _ in names_shapes])
+    out = {
+        "logits": logits,
+        "probs": probs,
+        "bbox": bbox,
+        "var_names": np.array([n for n, _ in names_shapes]),
+    }
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"var_shape__{i}"] = np.asarray(shape, np.int64)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "reference_rpn.npz"), **out)
+
+
 def main():
     tf1 = setup_reference_imports()
     gen_proposals(tf1)
     gen_detection(tf1)
     gen_crop_resize(tf1)
+    gen_mrcnn_head(tf1)
+    gen_rpn(tf1)
     print("goldens written to", GOLDEN_DIR)
 
 
