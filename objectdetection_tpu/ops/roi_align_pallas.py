@@ -9,11 +9,14 @@ inside one small bounding patch of ONE pyramid level, so this kernel instead:
 1. DMAs each ROI's bounding patch HBM→VMEM in ONE async copy (double
    buffered across grid steps; ~390-570 GB/s measured,
    benchmarks/patch_dma_probe.py),
-2. applies the y-interpolation as a [pool, py] x [py, px*C] MXU matmul
-   (the bilinear weight matrix has the two corner weights per row),
-3. applies the x-interpolation with two dynamic lane-slices of the matmul
-   result per output column (offsets are multiples of C, so always
-   lane-aligned).
+2. applies the x-interpolation with two dynamic lane-slices of the PATCH
+   per output column (offsets are multiples of C, so always lane-aligned),
+   producing [py, pool*C],
+3. applies the y-interpolation as a [pool, py] x [py, pool*C] MXU matmul
+   (the bilinear weight matrix has the two corner weights per row).
+   x-first matters: y-first computed px*C matmul columns of which only
+   pool*C were ever read — 3-8x wasted MXU latency per ROI (measured
+   0.85-0.93 us/ROI y-first vs ~0.5 x-first, benchmarks/roi_align_k_probe).
 
 Each grid step processes K_ROIS ROIs: per-step fixed costs (the SMEM/VMEM
 input-block DMAs and grid overhead, ~1.2 us/step measured at K=1) amortize
@@ -65,7 +68,8 @@ _TALL = (48, 24)
 _BIG = (48, 44)
 _NONTOP_CLASSES = (_SMALL, _WIDE, _TALL, _BIG)
 
-K_ROIS = 4  # ROIs per grid step
+K_ROIS = 8  # ROIs per grid step (b96 sweep: 70.6 ms @K=8 vs 73.8 @K=4,
+# 71.1 @K=16 — benchmarks/roi_align_k_probe.py, x-first kernel)
 
 
 def pallas_roi_align_supported(features) -> bool:
@@ -99,7 +103,7 @@ def _kernel(
     level_dims,
     compute_dtype,
 ):
-    bufs, b_top, state_ref, m1_ref, sems, sem_top = scratch
+    bufs, b_top, state_ref, xb_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
     g = pl.program_id(0)
     n = pl.num_programs(0)
@@ -185,16 +189,33 @@ def _kernel(
 
         for ci, (py, px) in enumerate(classes):
             if ci == top_ci:
-                patch_fn = lambda: b_top[:, :]
+                patch_ref_fn = lambda: b_top
             else:
-                patch_fn = (
-                    lambda j=j, py=py, px=px: bufs[
-                        slot, j, 0:py, 0 : px * chans
-                    ]
-                )
+                patch_ref_fn = lambda j=j: bufs.at[slot, j]
 
             @pl.when(cls == ci)
-            def _(j=j, ci=ci, py=py, px=px, patch_fn=patch_fn):
+            def _(j=j, ci=ci, py=py, px=px, patch_ref_fn=patch_ref_fn):
+                # x-interp FIRST: of the patch's px*C columns, the 7x7 pool
+                # only ever reads pool*C blended ones — interpolating x on
+                # the patch (7 lane-slice blends of [py, C]) before the
+                # matmul means the y-matmul contracts py into pool*C lanes
+                # instead of px*C: 3-8x less MXU work per ROI. (Measured on
+                # the y-first order: 0.85-0.93 us/ROI flat across ROI-size
+                # mixes — MXU latency-bound on wasted columns,
+                # benchmarks/roi_align_k_probe.py.) Separable bilinear is
+                # order-independent; the bf16 round-trip below matches the
+                # XLA path's blend-in-feature-dtype.
+                pref = patch_ref_fn()
+                for q in range(pool):
+                    x0 = xint_ref[j, 0, q]
+                    x1 = xint_ref[j, 0, pool + q]
+                    wq = wx_ref[j, 0, q]  # scalar
+                    v0 = pref[0:py, pl.ds(x0 * chans, chans)]
+                    v1 = pref[0:py, pl.ds(x1 * chans, chans)]
+                    xb_ref[0:py, q * chans : (q + 1) * chans] = (
+                        (1.0 - wq) * v0 + wq * v1
+                    ).astype(compute_dtype)
+
                 # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
                 # y1r_p, built in ONE vectorized iota-compare expression
                 # from the [pool, 1]-oriented geometry columns (f32
@@ -209,23 +230,13 @@ def _kernel(
                 wy_mat = jnp.where(iota == y0c, 1.0 - wyc, 0.0) + jnp.where(
                     iota == y1c, wyc, 0.0
                 )
-                m1 = jax.lax.dot_general(
+                out = jax.lax.dot_general(
                     wy_mat.astype(compute_dtype),
-                    patch_fn(),
+                    xb_ref[0:py, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # [pool, px*C]
-                # bf16 round-trip matches the XLA blend-in-feature-dtype
-                m1_ref[:, : px * chans] = m1.astype(compute_dtype)
-                for q in range(pool):
-                    x0 = xint_ref[j, 0, q]
-                    x1 = xint_ref[j, 0, pool + q]
-                    wq = wx_ref[j, 0, q]  # scalar
-                    v0 = m1_ref[:, pl.ds(x0 * chans, chans)]
-                    v1 = m1_ref[:, pl.ds(x1 * chans, chans)]
-                    out_ref[j, :, q * chans : (q + 1) * chans] = (
-                        (1.0 - wq) * v0 + wq * v1
-                    ).astype(out_ref.dtype)
+                )  # [pool, pool*C]
+                out_ref[j, :, :] = out.astype(out_ref.dtype)
 
 
 def batched_multilevel_roi_align_pallas(
@@ -235,11 +246,14 @@ def batched_multilevel_roi_align_pallas(
     crop_size: Tuple[int, int],
     min_level: int = 2,
     interpret: bool = False,
+    k_rois: int | None = None,
 ) -> Array:
     """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
 
     features: per-level [B, H_l, W_l, C]; boxes [B, R, 4] normalized AND
     clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
+    `k_rois` overrides the ROIs-per-grid-step batching factor (default
+    K_ROIS; higher amortizes per-step fixed costs at more VMEM scratch).
     """
     features = list(features)
     b, _, _, c = features[0].shape
@@ -371,7 +385,7 @@ def batched_multilevel_roi_align_pallas(
 
     # pad the ROI axis to a multiple of K_ROIS with benign rows (class 0,
     # level 0, image 0, zero geometry) — their outputs are sliced off
-    k_r = K_ROIS
+    k_r = k_rois or K_ROIS
     n_pad = ((n + k_r - 1) // k_r) * k_r
     pad = n_pad - n
 
@@ -431,11 +445,24 @@ def batched_multilevel_roi_align_pallas(
                 (classes[-1][0], classes[-1][1] * c), dt
             ),  # cached top level (single slot)
             pltpu.SMEM((1,), jnp.int32),  # image id cached in b_top
-            pltpu.VMEM((pool, max_px * c), dt),
+            # x-blended patch columns [py, pool*C] (largest py of any class)
+            pltpu.VMEM((max(py for py, _ in classes), pool * c), dt),
             pltpu.SemaphoreType.DMA((2, k_r)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # scratch VMEM grows linearly in k_r (the double-buffered patch store is
+    # 2*K*BIG bytes); raise the scoped-vmem cap above the 16MB default when
+    # K needs it (the xla_tpu_scoped_vmem_limit_kib flag must allow it —
+    # bench.py/cli set it; v5e has 128MB VMEM/core)
+    itemsize = np.dtype(dt).itemsize
+    scratch_bytes = (
+        2 * k_r * max_py * max_px * c * itemsize  # bufs
+        + classes[-1][0] * classes[-1][1] * c * itemsize  # b_top
+        + max_py * pool * c * itemsize  # xb (x-blended patch)
+        + 3 * k_r * pool * c * itemsize  # in/out blocks (approx)
+    )
+    vmem_limit = max(16 * 1024 * 1024, scratch_bytes + 8 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -448,6 +475,7 @@ def batched_multilevel_roi_align_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), dt),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(
         meta_cur,
         meta_next,
