@@ -62,6 +62,18 @@ def main():
     p.add_argument(
         "--no-s2d-stage2", dest="s2d_stage2", action="store_false",
     )
+    p.add_argument(
+        "--fused-bottleneck",
+        dest="fused_bottleneck",
+        action="store_true",
+        default=None,
+        help="run int8 identity bottleneck blocks as one Pallas kernel "
+        "each (ops/fused_block.py)",
+    )
+    p.add_argument(
+        "--no-fused-bottleneck", dest="fused_bottleneck",
+        action="store_false",
+    )
     args = p.parse_args()
 
     import jax
@@ -81,6 +93,8 @@ def main():
         cfg = cfg.replace(pallas_roi_align=args.pallas_align)
     if args.s2d_stage2 is not None:
         cfg = cfg.replace(s2d_stage2=args.s2d_stage2)
+    if args.fused_bottleneck is not None:
+        cfg = cfg.replace(fused_bottleneck=args.fused_bottleneck)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))

@@ -132,7 +132,7 @@ def main():
             s = sum(
                 jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(out)
             )
-            return [x + 1e-20 * s for x in f], acc + s
+            return [x + (1e-20 * s).astype(x.dtype) for x in f], acc + s
 
         _, acc = jax.lax.fori_loop(0, n, body, (list(f0), jnp.float32(0)))
         return acc

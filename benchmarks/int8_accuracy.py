@@ -33,6 +33,11 @@ def main():
         "--percentile", type=float, default=None,
         help="robust per-chunk-absmax percentile calibration (e.g. 90)",
     )
+    p.add_argument(
+        "--approx-topk", action="store_true",
+        help="use approx_max_k proposal selection in BOTH evals (isolates "
+        "its accuracy cost on the trained model)",
+    )
     # must match the `odtpu train` invocation that produced the checkpoint
     # (the optimizer-state structure depends on these)
     p.add_argument("--train-steps", type=int, default=3000)
@@ -59,6 +64,8 @@ def main():
         warmup_steps=max(args.train_steps // 20, 10),
         total_train_steps=args.train_steps,
     )
+    if args.approx_topk:
+        cfg = cfg.replace(use_approx_topk=True)
     state = detector.create_train_state(cfg, jax.random.PRNGKey(0))
     state = checkpoint.load_checkpoint(args.ckpt, state)
     print(f"restored step {int(state.step)}", file=sys.stderr)

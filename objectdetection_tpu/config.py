@@ -102,6 +102,11 @@ class DetectorConfig:
     # (half the MXU + double the traffic). Identical math and identical
     # param/scale layouts; see ops/s2d.py and benchmarks/narrow_conv_probe.
     s2d_stage2: bool = False
+    # Fused int8 identity bottleneck blocks (ops/fused_block.py): one Pallas
+    # kernel per block — VMEM-resident intermediates, im2col 3x3 (full MXU
+    # contraction even on 64-channel stage 2), fused requant epilogues.
+    # Inference-only; applies when quantized_inference and weights frozen.
+    fused_bottleneck: bool = False
     # Pallas patch-DMA ROIAlign on the inference path (TPU only; auto-falls
     # back to the XLA gather when unsupported — small pyramids, training,
     # non-TPU backends). "all" | "masks" | "off". The mask stage (100

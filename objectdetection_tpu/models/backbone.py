@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from objectdetection_tpu.ops.fused_block import (
+    fused_block_supported,
+    fused_identity_block_int8,
+)
 from objectdetection_tpu.ops.s2d import depth_to_space, space_to_depth
 from objectdetection_tpu.quant import (
     conv_factory,
@@ -64,6 +68,64 @@ class FrozenBatchNorm(nn.Module):
         return y
 
 
+class _QuantConvParams(nn.Module):
+    """Variable-tree mirror of quant.QuantConv: declares the identical
+    params ("kernel" HWIO, "bias") and quant variables ("kernel_scale",
+    "act_scale") under the same module name, but performs no compute.
+
+    Used by the fused-bottleneck path, which reads the frozen int8 weights
+    and calibrated scales directly and hands them to the Pallas kernel —
+    checkpoints and calibration remain layout-identical either way.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, self.cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        kernel_scale = self.variable(
+            "quant",
+            "kernel_scale",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        act_scale = self.variable(
+            "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+        )
+        return kernel, bias, kernel_scale.value, act_scale.value
+
+
+class _BNParams(nn.Module):
+    """Variable-tree mirror of FrozenBatchNorm returning the folded affine
+    (inv, shift) instead of applying it."""
+
+    epsilon: float = 1e-3
+    scale_init: Any = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        ).value
+        inv = scale / jnp.sqrt(var + self.epsilon)
+        return inv, bias - mean * inv
+
+
 class BottleneckBlock(nn.Module):
     """ResNet bottleneck. ≙ fpn.py conv_block (:96-145) / identity_block (:51-94)."""
 
@@ -75,6 +137,9 @@ class BottleneckBlock(nn.Module):
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 conv path (inference PTQ, see quant.py)
     s2d: bool = False  # 2x2-blocked basis (stride-1 stages; see ops/s2d.py)
+    # run int8 identity blocks as ONE Pallas kernel (ops/fused_block.py):
+    # VMEM-resident intermediates, im2col 3x3, fused requant epilogues
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -101,7 +166,9 @@ class BottleneckBlock(nn.Module):
         )
         cn = f"res{self.stage}{self.block}_branch"
         bnn = f"bn{self.stage}{self.block}_branch"
-        bn2c = FrozenBatchNorm(
+        # constructed lazily: the fused path binds the same variables via a
+        # _BNParams mirror under the same name instead
+        make_bn2c = lambda: FrozenBatchNorm(
             # zero-gamma init on the residual's last BN: blocks start as
             # identity, keeping from-scratch activations bounded (loaded
             # checkpoints overwrite the scale). Standard ResNet practice.
@@ -114,6 +181,44 @@ class BottleneckBlock(nn.Module):
             )
 
         int8_stream = self.quantized and not self.is_mutable_collection("quant")
+        if (
+            int8_stream
+            and self.fused
+            and not self.projection
+            and self.stride == 1
+            and not self.s2d
+            and fused_block_supported(x[0], f1)
+        ):
+            x8, sx = x
+            k_a, bias_a, ks_a, _ = _QuantConvParams(
+                f1, (1, 1), x8.shape[-1], name=cn + "2a"
+            )()
+            k_b, bias_b, ks_b, act_b = _QuantConvParams(
+                f2, (3, 3), f1, name=cn + "2b"
+            )()
+            k_c, bias_c, ks_c, act_c = _QuantConvParams(
+                f3, (1, 1), f2, name=cn + "2c"
+            )()
+            bn_a = _BNParams(name=bnn + "2a")(f1)
+            bn_b = _BNParams(name=bnn + "2b")(f2)
+            bn_c = _BNParams(
+                name=bnn + "2c", scale_init=nn.initializers.zeros
+            )(f3)
+            # frozen weights carry (int8 kernel, kernel_scale); unfrozen
+            # float kernels quantize in-trace exactly like QuantConv
+            qp = lambda k, s: (k, s) if k.dtype == jnp.int8 else weight_qparams(k)
+            (k_a8, sw_a), (k_b8, sw_b), (k_c8, sw_c) = (
+                qp(k_a, ks_a), qp(k_b, ks_b), qp(k_c, ks_c)
+            )
+            y8 = fused_identity_block_int8(
+                x8, sx, k_a8, k_b8, k_c8, sw_a, sw_b, sw_c,
+                bias_a, bias_b, bias_c, bn_a, bn_b, bn_c,
+                scale_b=act_b, scale_c=act_c, out_scale=out_scale.value,
+                # interpret mode keeps the path testable off-TPU
+                interpret=jax.default_backend() != "tpu",
+            )
+            return y8, out_scale.value
+
         if int8_stream:
             x8, sx = x
             if self.projection:
@@ -134,7 +239,7 @@ class BottleneckBlock(nn.Module):
         y = conv(f2, 3, 1, cn + "2b")(y)
         y = nn.relu(bn(bnn + "2b")(y))
         y = conv(f3, 1, 1, cn + "2c")(y)
-        out = nn.relu(bn2c(y) + shortcut)
+        out = nn.relu(make_bn2c()(y) + shortcut)
 
         if int8_stream:
             return quantize_act(out, out_scale.value), out_scale.value
@@ -257,6 +362,7 @@ class ResNetBottomUp(nn.Module):
     remat: bool = False  # rematerialize blocks in the backward pass
     quantized: bool = False
     s2d_stage2: bool = False  # run stage 2 in the 2x2-blocked basis
+    fused_bottleneck: bool = False  # Pallas fused int8 identity blocks
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -306,6 +412,7 @@ class ResNetBottomUp(nn.Module):
                 x = block_cls(
                     filters, stage=stage_idx, block=blk, dtype=dt,
                     quantized=self.quantized, s2d=s2d,
+                    fused=self.fused_bottleneck,
                     name=f"res{stage_idx}{blk}",
                 )(x)
             return x
@@ -357,6 +464,7 @@ class ResNetFPN(nn.Module):
     remat: bool = False
     quantized: bool = False
     s2d_stage2: bool = False
+    fused_bottleneck: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -365,7 +473,8 @@ class ResNetFPN(nn.Module):
             model=self.model, dtype=dt,
             conv1_space_to_depth=self.conv1_space_to_depth,
             remat=self.remat, quantized=self.quantized,
-            s2d_stage2=self.s2d_stage2, name="resnet",
+            s2d_stage2=self.s2d_stage2,
+            fused_bottleneck=self.fused_bottleneck, name="resnet",
         )(images)
 
         make_conv = conv_factory(self.quantized, dt)

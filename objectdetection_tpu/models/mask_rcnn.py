@@ -37,7 +37,8 @@ class MaskRCNN(nn.Module):
             model=cfg.backbone, channels=cfg.fpn_channels, dtype=dt,
             conv1_space_to_depth=cfg.conv1_space_to_depth,
             remat=cfg.remat_backbone, quantized=cfg.quantized_inference,
-            s2d_stage2=cfg.s2d_stage2, name="fpn",
+            s2d_stage2=cfg.s2d_stage2,
+            fused_bottleneck=cfg.fused_bottleneck, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

@@ -105,16 +105,17 @@ class TestS2D:
             s2d_stage2=True,
         )
         variables = mod.init(jax.random.PRNGKey(0), x)
-        # calibrate (scales are layout-independent: same absmax either way)
+        # calibrate BOTH layouts before freezing (QuantConv rejects
+        # calibration on frozen int8 kernels)
         _, m = mod.apply(variables, x, mutable=["quant"])
-        variables = freeze_weights({**variables, "quant": m["quant"]})
         _, ms = mod_s.apply(variables, x, mutable=["quant"])
-        np.testing.assert_allclose(
-            np.asarray(
-                jax.flatten_util.ravel_pytree(m["quant"])[0]
+        variables = freeze_weights({**variables, "quant": m["quant"]})
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5
             ),
-            np.asarray(jax.flatten_util.ravel_pytree(ms["quant"])[0]),
-            rtol=1e-5,
+            m["quant"],
+            ms["quant"],
         )
         # int8 inference: identical int8 values + scales -> exact int32
         # conv sums -> bit-identical carried streams
