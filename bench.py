@@ -63,6 +63,17 @@ def main():
         "--no-s2d-stage2", dest="s2d_stage2", action="store_false",
     )
     p.add_argument(
+        "--approx-topk",
+        dest="approx_topk",
+        action="store_true",
+        default=None,
+        help="approx_max_k proposal pre-NMS selection (recall>=0.98 of the "
+        "true top-6000; benchmarks/approx_topk_recall.py gates accuracy)",
+    )
+    p.add_argument(
+        "--no-approx-topk", dest="approx_topk", action="store_false",
+    )
+    p.add_argument(
         "--fused-bottleneck",
         dest="fused_bottleneck",
         action="store_true",
@@ -93,6 +104,8 @@ def main():
         cfg = cfg.replace(pallas_roi_align=args.pallas_align)
     if args.s2d_stage2 is not None:
         cfg = cfg.replace(s2d_stage2=args.s2d_stage2)
+    if args.approx_topk is not None:
+        cfg = cfg.replace(use_approx_topk=args.approx_topk)
     if args.fused_bottleneck is not None:
         cfg = cfg.replace(fused_bottleneck=args.fused_bottleneck)
 

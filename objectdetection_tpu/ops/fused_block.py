@@ -56,7 +56,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Default row-tile height (output rows per grid step). Halo recompute of
-# the m1 activation is 2/(th+2); DMA granule is (th+2) * W*C3 bytes int8.
+# the m1 activation is 2/(th+2); DMA granule is (th+16) * W*C3 bytes int8
+# (8-row halos each side: DMA slices must be 8-row aligned on this memref).
 # Larger tiles amortize the per-grid-step fixed cost (~1-2 us measured on
 # the ROIAlign kernel) at linearly more VMEM scratch.
 TH = 32
@@ -111,55 +112,70 @@ def _kernel(
     g = bi * n_htiles + ti
     slot = jax.lax.rem(g, 2)
 
-    def dma(slot_, bi_, ti_):
-        """Copy rows [ti*TH - 1, ti*TH + TH + 1) of image bi_ into the slot.
+    def dma(slot_, bi_, ti_, start):
+        """Copy rows [ti*TH - 8, ti*TH + TH + 8) of image bi_ into the slot.
 
-        Interior tiles copy all TH+2 rows; the first/last tiles copy TH+1
-        valid rows into the buffer's interior (the out-of-image halo row's
-        buffer content is garbage — it only feeds m1, which is explicitly
+        The block math needs a 1-row y-halo, but DMA slices of this tiled
+        memref must be 8-row aligned in offset AND extent (Mosaic), so the
+        halo is 8 rows each side. Buffer row b holds input row
+        ti*TH - 8 + b; edge tiles copy TH+8 valid rows and leave the
+        out-of-image side stale (it only feeds m1, which is explicitly
         zeroed there to match SAME-conv zero padding).
+
+        `start=False` re-derives the identical descriptors and waits on
+        them — waits must match the started copy's shape exactly so the
+        semaphore is decremented by the right byte count.
         """
         first = ti_ == 0
         last = ti_ == n_htiles - 1
 
         def mk(src_row, dst_row, rows):
-            return pltpu.make_async_copy(
+            cp = pltpu.make_async_copy(
                 x_any.at[bi_, pl.ds(src_row, rows)],
                 xbufs.at[slot_, pl.ds(dst_row, rows)],
                 sems.at[slot_],
             )
+            cp.start() if start else cp.wait()
+
+        # offsets are written as explicit 8*(...) products so Mosaic's
+        # divisibility prover accepts them (ti*th - 8 alone is rejected)
+        t8 = th // 8
 
         @pl.when(first)
         def _():
-            mk(ti_ * th, 1, th + 1).start()
+            mk(8 * (ti_ * t8), 8, th + 8)
 
         @pl.when(last)
         def _():
-            mk(ti_ * th - 1, 0, th + 1).start()
+            mk(8 * (ti_ * t8 - 1), 0, th + 8)
 
-        @pl.when(jnp.logical_not(first | last))
-        def _():
-            mk(ti_ * th - 1, 0, th + 2).start()
+        # emitted branches must be statically shape-valid even when their
+        # predicate is false: with 2 tiles (both edges) the interior's
+        # th+16-row slice can exceed the image, so don't emit it at all
+        if n_htiles > 2:
+
+            @pl.when(jnp.logical_not(first | last))
+            def _():
+                mk(8 * (ti_ * t8 - 1), 0, th + 16)
 
     @pl.when(g == 0)
     def _():
-        dma(slot, bi, ti)
+        dma(slot, bi, ti, start=True)
 
     @pl.when(g + 1 < pl.num_programs(0) * pl.num_programs(1))
     def _():
         nb = (g + 1) // n_htiles
         nt = (g + 1) - nb * n_htiles
-        dma(1 - slot, nb, nt)
+        dma(1 - slot, nb, nt, start=True)
 
-    pltpu.make_async_copy(
-        x_any.at[0, pl.ds(0, 1)], xbufs.at[0, pl.ds(0, 1)], sems.at[slot]
-    ).wait()  # shape-matching wait on this slot's semaphore
+    dma(slot, bi, ti, start=False)  # wait for this tile's copy
 
     first = ti == 0
     last = ti == n_htiles - 1
 
-    # ---- conv 2a (1x1, C3 -> C1) on all TH+2 rows + requant to m1's scale
-    x_flat = xbufs[slot].reshape((th + 2) * w, c3)
+    # ---- conv 2a (1x1, C3 -> C1) on the TH+2 rows the block math needs
+    # (buffer rows 7..TH+9 = input rows ti*TH-1 .. ti*TH+TH+1)
+    x_flat = xbufs[slot, 7 : th + 9, :].reshape((th + 2) * w, c3)
     t1 = jax.lax.dot_general(
         x_flat, ka[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -169,34 +185,39 @@ def _kernel(
     )
     m1_8 = jnp.round(m1).astype(jnp.int32)  # relu'd: already >= 0
     m1_8 = jnp.minimum(m1_8, 127).astype(jnp.int8)
-    m1_ref[:, :] = m1_8.reshape(th + 2, w * c1)
+    # m1 stays in the flattened [(TH+2)*W, C1] matmul layout (Mosaic can't
+    # shape-cast int8 vectors whose minor dim is < 128 lanes, so the 2D
+    # [TH+2, W*C1] view used pre-r2 fails to compile at C1=64). Written at
+    # row offset 1 so every tap slice below has a non-negative start.
+    m1_ref[pl.ds(1, (th + 2) * w), :] = m1_8
 
     # SAME zero padding: out-of-image halo rows of the 3x3's input are zero
     @pl.when(first)
     def _():
-        m1_ref[0:1, :] = jnp.zeros((1, w * c1), jnp.int8)
+        m1_ref[pl.ds(1, w), :] = jnp.zeros((w, c1), jnp.int8)
 
     @pl.when(last)
     def _():
-        m1_ref[th + 1 : th + 2, :] = jnp.zeros((1, w * c1), jnp.int8)
+        m1_ref[pl.ds(1 + (th + 1) * w, w), :] = jnp.zeros((w, c1), jnp.int8)
 
-    # ---- build the 9 im2col taps: [TH*W, 9*C1], (dy, dx, ci)-major
-    zcol = jnp.zeros((th, c1), jnp.int8)
+    # ---- build the 9 im2col taps: [TH*W, 9*C1], (dy, dx, ci)-major.
+    # Output pixel f = y*W + x reads m1 logical row (y+dy)*W + (x+dx-1) =
+    # f + dy*W + dx - 1, i.e. tap (dy, dx) is the static sublane slice of
+    # the flattened m1 starting at dy*W + dx (with the +1 write offset).
+    # The x boundary (x+dx-1 outside [0, W)) is masked by pixel position.
+    xpos = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (th * w, c1), 0), w
+    )
+    zero8 = jnp.zeros((th * w, c1), jnp.int8)
     for dy in range(3):
-        rows = m1_ref[dy : dy + th, :]  # [TH, W*C1]
         for dx in range(3):
-            if dx == 0:  # reads x-1: shift right, zero first pixel column
-                shifted = jnp.concatenate(
-                    [zcol, rows[:, : (w - 1) * c1]], axis=1
-                )
-            elif dx == 2:  # reads x+1: shift left, zero last pixel column
-                shifted = jnp.concatenate([rows[:, c1:], zcol], axis=1)
-            else:
-                shifted = rows
+            t = m1_ref[pl.ds(dy * w + dx, th * w), :]
+            if dx == 0:  # reads x-1: invalid at x == 0
+                t = jnp.where(xpos == 0, zero8, t)
+            elif dx == 2:  # reads x+1: invalid at x == W-1
+                t = jnp.where(xpos == w - 1, zero8, t)
             j = dy * 3 + dx
-            taps_ref[:, j * c1 : (j + 1) * c1] = shifted.reshape(
-                th * w, c1
-            )
+            taps_ref[:, j * c1 : (j + 1) * c1] = t
 
     # ---- conv 2b (3x3 as one [TH*W, 9C1] x [9C1, C1] matmul) + requant
     t2 = jax.lax.dot_general(
@@ -213,7 +234,7 @@ def _kernel(
         m2_8, kc[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    short = xbufs[slot, 1 : th + 1, :].reshape(th * w, c3).astype(jnp.float32)
+    short = xbufs[slot, 8 : th + 8, :].reshape(th * w, c3).astype(jnp.float32)
     y = jnp.maximum(
         t3.astype(jnp.float32) * alpha_c[0, :]
         + beta_c[0, :]
@@ -315,8 +336,10 @@ def fused_identity_block_int8(
                 (1, th, w * c3), lambda bi, ti: (bi, ti, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, th + 2, w * c3), jnp.int8),  # x tiles
-                pltpu.VMEM((th + 2, w * c1), jnp.int8),  # m1 (requantized)
+                pltpu.VMEM((2, th + 16, w * c3), jnp.int8),  # x tiles
+                # m1 (requantized), flattened rows + 1 lead row so tap
+                # slices start at dy*w+dx >= 0 (+ tail slack to sublanes)
+                pltpu.VMEM(((th + 2) * w + 8, c1), jnp.int8),
                 pltpu.VMEM((th * w, 9 * c1), jnp.int8),  # im2col taps
                 pltpu.SemaphoreType.DMA((2,)),
             ],
