@@ -63,6 +63,17 @@ def main():
         "--no-s2d-stage2", dest="s2d_stage2", action="store_false",
     )
     p.add_argument(
+        "--per-channel",
+        dest="per_channel",
+        action="store_true",
+        default=None,
+        help="per-input-channel activation quantization "
+        "(cfg.per_channel_acts; folds into frozen kernels, perf-neutral)",
+    )
+    p.add_argument(
+        "--no-per-channel", dest="per_channel", action="store_false",
+    )
+    p.add_argument(
         "--approx-topk",
         dest="approx_topk",
         action="store_true",
@@ -106,6 +117,8 @@ def main():
         cfg = cfg.replace(s2d_stage2=args.s2d_stage2)
     if args.approx_topk is not None:
         cfg = cfg.replace(use_approx_topk=args.approx_topk)
+    if args.per_channel is not None:
+        cfg = cfg.replace(per_channel_acts=args.per_channel)
     if args.fused_bottleneck is not None:
         cfg = cfg.replace(fused_bottleneck=args.fused_bottleneck)
 
@@ -136,10 +149,11 @@ def main():
 
         cache = args.quant_cache
         if cache == "auto":
+            pc = "_pc" if cfg.per_channel_acts else ""
             cache = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "artifacts",
-                f"quant_{args.backbone}_{args.image_size}.ckpt",
+                f"quant_{args.backbone}_{args.image_size}{pc}.ckpt",
             )
         loaded = False
         if cache != "off" and os.path.isdir(cache):

@@ -34,6 +34,23 @@ def main():
         help="robust per-chunk-absmax percentile calibration (e.g. 90)",
     )
     p.add_argument(
+        "--per-channel", action="store_true",
+        help="per-input-channel activation quantization "
+        "(cfg.per_channel_acts) on the backbone/FPN/RPN",
+    )
+    p.add_argument(
+        "--float-rpn", action="store_true",
+        help="keep the RPN head in float (cfg.quantize_rpn=False)",
+    )
+    p.add_argument(
+        "--float-box-head", action="store_true",
+        help="keep the box/class head in float (cfg.quantize_box_head=False)",
+    )
+    p.add_argument(
+        "--float-mask-head", action="store_true",
+        help="keep the mask head in float (cfg.quantize_mask_head=False)",
+    )
+    p.add_argument(
         "--approx-topk", action="store_true",
         help="use approx_max_k proposal selection in BOTH evals (isolates "
         "its accuracy cost on the trained model)",
@@ -82,7 +99,13 @@ def main():
     )
 
     # --- calibrate + freeze + int8 eval ---
-    cfg_q = cfg.replace(quantized_inference=True)
+    cfg_q = cfg.replace(
+        quantized_inference=True,
+        quantize_rpn=not args.float_rpn,
+        quantize_box_head=not args.float_box_head,
+        quantize_mask_head=not args.float_mask_head,
+        per_channel_acts=args.per_channel,
+    )
     # init with the quantized model to get the quant collection skeleton,
     # then graft the trained float params/batch_stats on top
     qskel = detector.init_variables(cfg_q, jax.random.PRNGKey(0))

@@ -101,6 +101,19 @@ class DetectorConfig:
     # the MXU's int8 path (2x bf16 rate, half the HBM traffic). Requires
     # calibration via quant.calibrate_variables; inference only. See quant.py.
     quantized_inference: bool = False
+    # Per-part int8 gates (effective only with quantized_inference): keep a
+    # head in float/bf16 while the rest of the network runs int8. Changing
+    # these changes the variable-tree layout (QuantConv vs nn.Conv), so
+    # persisted quant artifacts are keyed to the gate settings.
+    quantize_rpn: bool = True
+    quantize_box_head: bool = True
+    quantize_mask_head: bool = True
+    # Per-input-channel activation quantization for the backbone/FPN/RPN
+    # convs and the carried residual stream: the [Cin] dequant folds into
+    # each conv's int8 kernel at freeze time, so serving-path compute is
+    # unchanged (quant.QuantConv.per_channel). Changes the quant-collection
+    # variable shapes (act_scale/out_scale become vectors).
+    per_channel_acts: bool = False
     # Run ResNet stage 2 in the 2x2-blocked (space-to-depth) basis: its
     # 64-channel convs pad to 128 lanes at full spatial resolution on v5e
     # (half the MXU + double the traffic). Identical math and identical

@@ -140,6 +140,9 @@ class BottleneckBlock(nn.Module):
     # run int8 identity blocks as ONE Pallas kernel (ops/fused_block.py):
     # VMEM-resident intermediates, im2col 3x3, fused requant epilogues
     fused: bool = False
+    # per-input-channel activation quantization (QuantConv.per_channel):
+    # the carried stream's out_scale becomes a [C3] vector
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -159,7 +162,7 @@ class BottleneckBlock(nn.Module):
         make_conv = conv_factory(self.quantized, self.dtype)
         conv = lambda f, k, s, name: make_conv(
             f, (k, k), strides=(s, s), padding="SAME", name=name,
-            s2d=self.s2d,
+            s2d=self.s2d, per_channel=self.per_channel,
         )
         bn = lambda name: FrozenBatchNorm(
             name=name, dtype=self.dtype, s2d=self.s2d
@@ -176,14 +179,17 @@ class BottleneckBlock(nn.Module):
             scale_init=nn.initializers.zeros, s2d=self.s2d,
         )
         if self.quantized:
+            assert not (self.per_channel and self.s2d)
+            os_shape = (f3,) if self.per_channel else ()
             out_scale = self.variable(
-                "quant", "out_scale", lambda: jnp.zeros((), jnp.float32)
+                "quant", "out_scale", lambda: jnp.zeros(os_shape, jnp.float32)
             )
 
         int8_stream = self.quantized and not self.is_mutable_collection("quant")
         if (
             int8_stream
             and self.fused
+            and not self.per_channel  # fused kernel expects scalar scales
             and not self.projection
             and self.stride == 1
             and not self.s2d
@@ -244,9 +250,9 @@ class BottleneckBlock(nn.Module):
         if int8_stream:
             return quantize_act(out, out_scale.value), out_scale.value
         if self.quantized:  # calibration pass: record the block-output range
-            out_scale.value = jnp.maximum(
-                out_scale.value, jnp.max(jnp.abs(out.astype(jnp.float32)))
-            )
+            a = jnp.abs(out.astype(jnp.float32))
+            upd = jnp.max(a, axis=(0, 1, 2)) if self.per_channel else jnp.max(a)
+            out_scale.value = jnp.maximum(out_scale.value, upd)
         return out
 
 
@@ -363,10 +369,14 @@ class ResNetBottomUp(nn.Module):
     quantized: bool = False
     s2d_stage2: bool = False  # run stage 2 in the 2x2-blocked basis
     fused_bottleneck: bool = False  # Pallas fused int8 identity blocks
+    per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
         assert self.model in RESNET_STAGE4_BLOCKS
+        assert not (self.per_channel and self.s2d_stage2), (
+            "per_channel_acts and s2d_stage2 are mutually exclusive"
+        )
         dt = self.dtype
         x = x.astype(dt)
 
@@ -385,13 +395,16 @@ class ResNetBottomUp(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         if self.quantized:
+            pc = self.per_channel and not self.s2d_stage2
             c1_scale = self.variable(
-                "quant", "c1_out_scale", lambda: jnp.zeros((), jnp.float32)
+                "quant",
+                "c1_out_scale",
+                lambda: jnp.zeros((64,) if pc else (), jnp.float32),
             )
             if self.is_mutable_collection("quant"):  # calibration
-                c1_scale.value = jnp.maximum(
-                    c1_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-                )
+                a = jnp.abs(x.astype(jnp.float32))
+                upd = jnp.max(a, axis=(0, 1, 2)) if pc else jnp.max(a)
+                c1_scale.value = jnp.maximum(c1_scale.value, upd)
             else:
                 # enter the int8-carried stream: stages pass (int8, scale)
                 # pairs between blocks (see BottleneckBlock docstring)
@@ -405,7 +418,8 @@ class ResNetBottomUp(nn.Module):
             x = block_cls(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
-                quantized=self.quantized, s2d=s2d, name=f"res{stage_idx}a",
+                quantized=self.quantized, s2d=s2d,
+                per_channel=self.per_channel, name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
@@ -413,6 +427,7 @@ class ResNetBottomUp(nn.Module):
                     filters, stage=stage_idx, block=blk, dtype=dt,
                     quantized=self.quantized, s2d=s2d,
                     fused=self.fused_bottleneck,
+                    per_channel=self.per_channel,
                     name=f"res{stage_idx}{blk}",
                 )(x)
             return x
@@ -465,6 +480,7 @@ class ResNetFPN(nn.Module):
     quantized: bool = False
     s2d_stage2: bool = False
     fused_bottleneck: bool = False
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -474,20 +490,23 @@ class ResNetFPN(nn.Module):
             conv1_space_to_depth=self.conv1_space_to_depth,
             remat=self.remat, quantized=self.quantized,
             s2d_stage2=self.s2d_stage2,
-            fused_bottleneck=self.fused_bottleneck, name="resnet",
+            fused_bottleneck=self.fused_bottleneck,
+            per_channel=self.per_channel, name="resnet",
         )(images)
 
         make_conv = conv_factory(self.quantized, dt)
         out = lambda name: make_conv(
-            self.channels, (3, 3), padding="SAME", name=name
+            self.channels, (3, 3), padding="SAME", name=name,
+            per_channel=self.per_channel,
+        )
+        mk_lat = lambda name: make_conv(
+            self.channels, (1, 1), name=name, per_channel=self.per_channel
         )
         if self.quantized and not self.is_mutable_collection("quant"):
             # stages emitted (int8, scale) pairs — laterals consume directly
-            lat = lambda name, c: make_conv(self.channels, (1, 1), name=name)(
-                c[0], in_scale=c[1]
-            )
+            lat = lambda name, c: mk_lat(name)(c[0], in_scale=c[1])
         else:
-            lat = lambda name, c: make_conv(self.channels, (1, 1), name=name)(c)
+            lat = lambda name, c: mk_lat(name)(c)
 
         m5 = lat("fpn_c5p5", c5)
         m4 = upsample2x_nearest(m5) + lat("fpn_c4p4", c4)

@@ -32,6 +32,7 @@ class BoxClassHead(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 matmuls for the two 1024-wide FC layers
+    per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
     def __call__(self, pooled: Array) -> Tuple[Array, Array, Array]:
@@ -42,10 +43,14 @@ class BoxClassHead(nn.Module):
         x = pooled.reshape(b, r, ph * pw * c).astype(dt)
 
         # 7x7 VALID conv == dense over the flattened ROI (mrcnn_class_conv1)
-        x = make_dense(1024, name="mrcnn_class_conv1")(x)
+        x = make_dense(
+            1024, name="mrcnn_class_conv1", per_channel=self.per_channel
+        )(x)
         x = nn.relu(FrozenBatchNorm(name="mrcnn_class_bn1", dtype=dt)(x))
         # 1x1 conv == dense (mrcnn_class_conv2)
-        x = make_dense(1024, name="mrcnn_class_conv2")(x)
+        x = make_dense(
+            1024, name="mrcnn_class_conv2", per_channel=self.per_channel
+        )(x)
         shared = nn.relu(FrozenBatchNorm(name="mrcnn_class_bn2", dtype=dt)(x))
 
         logits = nn.Dense(
@@ -112,6 +117,7 @@ class MaskHead(nn.Module):
     channels: int = 256
     dtype: Any = jnp.float32
     quantized: bool = False  # int8 path for the 4 trunk convs
+    per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
     def __call__(self, pooled: Array, class_ids: Array | None = None) -> Array:
@@ -122,7 +128,8 @@ class MaskHead(nn.Module):
 
         for i in range(1, 5):
             x = make_conv(
-                self.channels, (3, 3), padding="SAME", name=f"mrcnn_mask_conv{i}"
+                self.channels, (3, 3), padding="SAME",
+                name=f"mrcnn_mask_conv{i}", per_channel=self.per_channel,
             )(x)
             x = nn.relu(FrozenBatchNorm(name=f"mrcnn_mask_bn{i}", dtype=dt)(x))
 

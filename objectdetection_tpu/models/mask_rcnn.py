@@ -38,22 +38,28 @@ class MaskRCNN(nn.Module):
             conv1_space_to_depth=cfg.conv1_space_to_depth,
             remat=cfg.remat_backbone, quantized=cfg.quantized_inference,
             s2d_stage2=cfg.s2d_stage2,
-            fused_bottleneck=cfg.fused_bottleneck, name="fpn",
+            fused_bottleneck=cfg.fused_bottleneck,
+            per_channel=cfg.per_channel_acts, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,
             anchor_stride=cfg.rpn_anchor_stride,
             dtype=dt,
-            quantized=cfg.quantized_inference,
+            quantized=cfg.quantized_inference and cfg.quantize_rpn,
+            per_channel=cfg.per_channel_acts,
             name="rpn_model",
         )
         self.box_head = BoxClassHead(
             num_classes=cfg.num_classes, dtype=dt,
-            quantized=cfg.quantized_inference, name="mrcnn",
+            quantized=cfg.quantized_inference and cfg.quantize_box_head,
+            per_channel=cfg.per_channel_acts,
+            name="mrcnn",
         )
         self.mask_head = MaskHead(
             num_classes=cfg.num_classes, dtype=dt,
-            quantized=cfg.quantized_inference, name="mrcnn_mask",
+            quantized=cfg.quantized_inference and cfg.quantize_mask_head,
+            per_channel=cfg.per_channel_acts,
+            name="mrcnn_mask",
         )
 
     def extract(self, images: Array):

@@ -29,6 +29,7 @@ class RPNHead(nn.Module):
     channels: int = 512
     dtype: Any = jnp.float32
     quantized: bool = False
+    per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
     def __call__(self, feature_maps: Sequence[Array]) -> Tuple[Array, Array, Array]:
@@ -44,12 +45,15 @@ class RPNHead(nn.Module):
         s = self.anchor_stride
         dt = self.dtype
         make_conv = conv_factory(self.quantized, dt)
+        pc = self.per_channel
         shared_conv = make_conv(
             self.channels, (3, 3), strides=(s, s), padding="SAME",
-            name="rpn_conv_shared",
+            name="rpn_conv_shared", per_channel=pc,
         )
-        class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw")
-        bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred")
+        class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw",
+                               per_channel=pc)
+        bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred",
+                              per_channel=pc)
 
         if self.quantized:
             # one shared activation scale for the relu'd shared-conv output:
@@ -59,7 +63,9 @@ class RPNHead(nn.Module):
             # batch 32) and the shared output materializes in bf16 instead
             # of int8.
             shared_scale = self.variable(
-                "quant", "shared_scale", lambda: jnp.zeros((), jnp.float32)
+                "quant",
+                "shared_scale",
+                lambda: jnp.zeros((self.channels,) if pc else (), jnp.float32),
             )
 
         logits_all: List[Array] = []
@@ -73,10 +79,9 @@ class RPNHead(nn.Module):
                 deltas = bbox_conv(s8, in_scale=shared_scale.value)
             else:
                 if self.quantized:  # calibration: record across all levels
-                    shared_scale.value = jnp.maximum(
-                        shared_scale.value,
-                        jnp.max(jnp.abs(shared.astype(jnp.float32))),
-                    )
+                    a = jnp.abs(shared.astype(jnp.float32))
+                    upd = jnp.max(a, axis=(0, 1, 2)) if pc else jnp.max(a)
+                    shared_scale.value = jnp.maximum(shared_scale.value, upd)
                 logits = class_conv(shared)
                 deltas = bbox_conv(shared)
             logits_all.append(logits.reshape(b, -1, 2))

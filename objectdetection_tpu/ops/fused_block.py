@@ -41,6 +41,15 @@ near a rounding boundary (parity-tested at the detection level).
 
 INFERENCE ONLY (int8, frozen weights). ≙ reference identity_block
 semantics (fpn.py:51-94) exactly, up to quantization.
+
+MEASURED END-TO-END LOSER on v5e (2026-08, bench.py --fused-bottleneck:
+155.7 vs 191.3 img/s int8 b96) — off by default. The im2col tap
+materialization writes 9x the m1 bytes through VPU sublane shifts, and
+Mosaic's 8-row DMA alignment rule forces 8-row halos (th+16 input rows
+per th-row tile, 1.5x input reads at TH=32). The kernel is kept because
+it is correct hardware-validated infrastructure (TPU-vs-interpret parity
+<=1 int8 step) and a base for future per-stage fusion experiments; see
+benchmarks/fused_block_bench.py for per-stage numbers.
 """
 
 from __future__ import annotations

@@ -89,6 +89,15 @@ class QuantConv(nn.Module):
     # apply time (ops/s2d.py). Stride must be 1. Narrow-channel stages run
     # ~3x faster in this basis on v5e (lane-padding avoidance).
     s2d: bool = False
+    # Per-INPUT-channel activation quantization: act_scale becomes a [Cin]
+    # vector (per-channel absmax) and its dequant folds into the kernel —
+    # k_eff[..., i, o] = k[..., i, o] * act_scale[i] / 127, quantized
+    # per-output-channel as usual — so the int8 conv itself is unchanged
+    # and the per-channel precision is free at serving. ResNet residual
+    # streams have strongly heterogeneous channel ranges; per-tensor int8
+    # of the carried stream was the dominant PTQ accuracy cost (measured:
+    # float-head ablations recover ~nothing, see benchmarks/int8_accuracy).
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x: Array, in_scale: Array | None = None) -> Array:
@@ -105,6 +114,7 @@ class QuantConv(nn.Module):
         cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
         if self.s2d:
             assert self.strides == (1, 1) and kh in (1, 3)
+            assert not self.per_channel, "per-channel + s2d not supported"
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -125,8 +135,10 @@ class QuantConv(nn.Module):
             else None
         )
         # running absmax of the conv input, recorded during calibration
+        # (per input channel with per_channel, one scalar otherwise)
+        act_shape = (cin,) if self.per_channel else ()
         act_scale = self.variable(
-            "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            "quant", "act_scale", lambda: jnp.zeros(act_shape, jnp.float32)
         )
 
         padding = self.padding
@@ -149,9 +161,12 @@ class QuantConv(nn.Module):
             assert kernel.dtype != jnp.int8, (
                 "calibrate before quant.freeze_weights, not after"
             )
-            act_scale.value = jnp.maximum(
-                act_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-            )
+            absx = jnp.abs(x.astype(jnp.float32))
+            if self.per_channel:
+                upd = jnp.max(absx, axis=tuple(range(x.ndim - 1)))
+            else:
+                upd = jnp.max(absx)
+            act_scale.value = jnp.maximum(act_scale.value, upd)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 xk(kernel).astype(self.dtype),
@@ -161,16 +176,40 @@ class QuantConv(nn.Module):
             )
         else:
             # --- int8 inference ---
-            if in_scale is not None:
-                sx = in_scale / ACT_QMAX
-                x8 = x  # already int8 on the carried residual stream
+            if self.per_channel:
+                # the [Cin] dequant cannot factor out of the conv sum; it
+                # folds into the kernel BEFORE weight quantization instead
+                # (freeze_weights does the same fold offline). The producer
+                # of a carried int8 input quantized it with its out_scale
+                # vector, which records the identical per-channel absmax as
+                # this conv's act_scale (same tensor, same calibration), so
+                # the two paths agree.
+                scale_in = (
+                    in_scale if in_scale is not None else act_scale.value
+                )
+                x8 = x if in_scale is not None else quantize_act(
+                    x, act_scale.value
+                )
+                if kernel.dtype == jnp.int8:  # frozen offline (pre-folded)
+                    k8, sw = kernel, kernel_scale.value
+                else:
+                    k_eff = kernel * (scale_in / ACT_QMAX).reshape(
+                        1, 1, cin, 1
+                    )
+                    k8, sw = weight_qparams(k_eff)
+                post = xc(sw)
             else:
-                sx = act_scale.value / ACT_QMAX
-                x8 = quantize_act(x, act_scale.value)
-            if kernel.dtype == jnp.int8:  # frozen offline
-                k8, sw = kernel, kernel_scale.value
-            else:
-                k8, sw = weight_qparams(kernel)
+                if in_scale is not None:
+                    sx = in_scale / ACT_QMAX
+                    x8 = x  # already int8 on the carried residual stream
+                else:
+                    sx = act_scale.value / ACT_QMAX
+                    x8 = quantize_act(x, act_scale.value)
+                if kernel.dtype == jnp.int8:  # frozen offline
+                    k8, sw = kernel, kernel_scale.value
+                else:
+                    k8, sw = weight_qparams(kernel)
+                post = sx * xc(sw)
             y32 = jax.lax.conv_general_dilated(
                 x8,
                 xk(k8),
@@ -179,7 +218,7 @@ class QuantConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             )
-            y = y32.astype(jnp.float32) * (sx * xc(sw))
+            y = y32.astype(jnp.float32) * post
             y = y.astype(self.dtype)
         if bias is not None:
             y = y + xc(bias).astype(self.dtype)
@@ -197,13 +236,17 @@ class QuantDense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # per-input-channel activation quantization (see QuantConv.per_channel):
+    # the [Cin] dequant folds into the kernel before weight quantization
+    per_channel: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features),
+            (cin, self.features),
             jnp.float32,
         )
         kernel_scale = self.variable(
@@ -216,32 +259,44 @@ class QuantDense(nn.Module):
             if self.use_bias
             else None
         )
+        act_shape = (cin,) if self.per_channel else ()
         act_scale = self.variable(
-            "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            "quant", "act_scale", lambda: jnp.zeros(act_shape, jnp.float32)
         )
 
         if self.is_mutable_collection("quant"):
             assert kernel.dtype != jnp.int8, (
                 "calibrate before quant.freeze_weights, not after"
             )
-            act_scale.value = jnp.maximum(
-                act_scale.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
-            )
+            absx = jnp.abs(x.astype(jnp.float32))
+            if self.per_channel:
+                upd = jnp.max(absx, axis=tuple(range(x.ndim - 1)))
+            else:
+                upd = jnp.max(absx)
+            act_scale.value = jnp.maximum(act_scale.value, upd)
             y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
-            sx = act_scale.value / ACT_QMAX
             x8 = quantize_act(x, act_scale.value)
-            if kernel.dtype == jnp.int8:  # frozen offline
-                k8, sw = kernel, kernel_scale.value
+            if self.per_channel:
+                if kernel.dtype == jnp.int8:  # frozen offline (pre-folded)
+                    k8, sw = kernel, kernel_scale.value
+                else:
+                    k_eff = kernel * (act_scale.value / ACT_QMAX)[:, None]
+                    k8, sw = weight_qparams(k_eff)
+                post = sw
             else:
-                k8, sw = weight_qparams(kernel)
+                if kernel.dtype == jnp.int8:  # frozen offline
+                    k8, sw = kernel, kernel_scale.value
+                else:
+                    k8, sw = weight_qparams(kernel)
+                post = (act_scale.value / ACT_QMAX) * sw
             y32 = jax.lax.dot_general(
                 x8,
                 k8,
                 (((x8.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            y = (y32.astype(jnp.float32) * (sx * sw)).astype(self.dtype)
+            y = (y32.astype(jnp.float32) * post).astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
@@ -250,9 +305,12 @@ class QuantDense(nn.Module):
 def dense_factory(quantized: bool, dtype: Any):
     """`(features, name) -> Module`: ``nn.Dense`` or :class:`QuantDense`."""
 
-    def make(features, name=None):
+    def make(features, name=None, per_channel=False):
         if quantized:
-            return QuantDense(features=features, dtype=dtype, name=name)
+            return QuantDense(
+                features=features, dtype=dtype, per_channel=per_channel,
+                name=name,
+            )
         return nn.Dense(
             features, name=name, dtype=dtype, param_dtype=jnp.float32
         )
@@ -309,7 +367,7 @@ def conv_factory(quantized: bool, dtype: Any):
 
     def make(
         features, kernel_size, strides=(1, 1), padding="SAME", name=None,
-        s2d=False,
+        s2d=False, per_channel=False,
     ):
         if quantized:
             return QuantConv(
@@ -319,6 +377,7 @@ def conv_factory(quantized: bool, dtype: Any):
                 padding=padding,
                 dtype=dtype,
                 s2d=s2d,
+                per_channel=per_channel and not s2d,
                 name=name,
             )
         if s2d:
@@ -367,6 +426,17 @@ def freeze_weights(variables):
             k = pnode["kernel"]
             if k.dtype == jnp.int8:  # already frozen
                 return pnode, qnode
+            act = qnode.get("act_scale")
+            if act is not None and act.ndim == 1:
+                # per-channel activation layer (QuantConv/QuantDense
+                # .per_channel): the [Cin] input dequant folds into the
+                # kernel before weight quantization — the serving path then
+                # multiplies by the per-output-channel kernel_scale alone.
+                fold = act.astype(jnp.float32) / ACT_QMAX
+                if k.ndim == 4:  # HWIO conv kernel
+                    k = k * fold.reshape(1, 1, -1, 1)
+                else:  # [in, out] dense kernel
+                    k = k * fold[:, None]
             k8, sw = weight_qparams(k)
             pn = dict(pnode)
             qn = dict(qnode)
@@ -463,12 +533,22 @@ def calibrate_variables(
     # zero per chunk), then take the given percentile of the per-chunk
     # absmaxes per scale. A single outlier activation no longer dictates
     # the whole tensor's quantization range the way a running max does.
-    # reset only the scalar activation scales; kernel_scale vectors (ones
-    # until freeze_weights) must pass through untouched
-    zero_quant = jax.tree.map(
-        lambda x: jnp.zeros_like(x) if x.ndim == 0 else x,
-        variables["quant"],
-    )
+    # Reset only the activation scales (scalar, or [C] with per-channel
+    # acts); kernel_scale vectors (ones until freeze_weights) must pass
+    # through untouched — identified by key, not by rank.
+    def zero_acts(node):
+        if not isinstance(node, dict):
+            return node
+        return {
+            k: (
+                zero_acts(v)
+                if isinstance(v, dict)
+                else (v if k == "kernel_scale" else jnp.zeros_like(v))
+            )
+            for k, v in node.items()
+        }
+
+    zero_quant = zero_acts(variables["quant"])
     per_chunk = []
     for i in range(0, images.shape[0], b):
         chunk = images[i : i + b]

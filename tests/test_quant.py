@@ -115,6 +115,72 @@ class TestQuantConv:
             float(mutated["quant"]["act_scale"])
         )
 
+    def test_per_channel_exact_vs_float(self):
+        # per-channel act scales: inputs exact multiples of each channel's
+        # own scale and weights exact per-out-channel grids — the folded
+        # int8 conv must reproduce the float conv, unfrozen AND frozen
+        rng = np.random.RandomState(2)
+        ch_scales = np.array([1.0, 4.0, 0.25, 16.0], np.float32)
+        x = (
+            rng.randint(-100, 100, (2, 8, 8, 4)) * (ch_scales / 127.0)
+        ).astype(np.float32)
+        kq = rng.randint(-127, 128, (3, 3, 4, 8)).astype(np.float32)
+        kq[0, 0, 0, :] = 127  # pin per-out-channel absmax: s_w exactly 1/127
+        # make the FOLDED kernel an exact int8 grid: k = kq / ch_scales, so
+        # k_eff = k * ch_scales/127 = kq/127 quantizes to kq bit-exactly
+        k = kq / ch_scales[None, None, :, None]
+        conv = QuantConv(features=8, kernel_size=(3, 3), per_channel=True)
+        variables = {
+            "params": {
+                "kernel": jnp.asarray(k),
+                "bias": jnp.zeros((8,)),
+            },
+            "quant": {
+                "act_scale": jnp.asarray(ch_scales),
+                "kernel_scale": jnp.ones((8,)),
+            },
+        }
+        x = jnp.asarray(x)
+        y_int8 = conv.apply(variables, x)
+        y_ref = jax.lax.conv_general_dilated(
+            x, jnp.asarray(k), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_int8), np.asarray(y_ref), rtol=1e-5, atol=1e-4
+        )
+        from objectdetection_tpu.quant import freeze_weights
+
+        frozen = freeze_weights(variables)
+        assert frozen["params"]["kernel"].dtype == jnp.int8
+        y_frozen = conv.apply(frozen, x)
+        np.testing.assert_allclose(
+            np.asarray(y_frozen), np.asarray(y_int8), rtol=1e-5, atol=1e-4
+        )
+        # carried-stream entry: pre-quantized int8 input + in_scale vector
+        from objectdetection_tpu.quant import quantize_act
+
+        x8 = quantize_act(x, jnp.asarray(ch_scales))
+        y_carried = conv.apply(frozen, x8, jnp.asarray(ch_scales))
+        np.testing.assert_allclose(
+            np.asarray(y_carried), np.asarray(y_ref), rtol=1e-5, atol=1e-4
+        )
+
+    def test_per_channel_calibration_records_channel_absmax(self):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 6, 6, 4).astype(np.float32)) * jnp.array(
+            [1.0, 10.0, 0.1, 3.0]
+        )
+        conv = QuantConv(features=8, kernel_size=(1, 1), per_channel=True)
+        variables = conv.init(jax.random.PRNGKey(0), x)
+        assert variables["quant"]["act_scale"].shape == (4,)
+        _, mutated = conv.apply(variables, x, mutable=["quant"])
+        np.testing.assert_allclose(
+            np.asarray(mutated["quant"]["act_scale"]),
+            np.asarray(jnp.max(jnp.abs(x), axis=(0, 1, 2))),
+            rtol=1e-6,
+        )
+
     def test_param_names_match_nn_conv(self):
         # checkpoint compatibility: identical param tree to flax nn.Conv
         import flax.linen as nn
@@ -312,6 +378,52 @@ class TestEndToEndQuantized:
         nq = int(det_q.valid.sum())
         nz = int(det_z.valid.sum())
         assert abs(nq - nz) <= 2, (nq, nz)
+
+    def test_per_channel_end_to_end(self, setup):
+        """per_channel_acts: calibrate → freeze → infer stays close to the
+        same variables' per-tensor int8 detections (the per-channel tree is
+        a strict refinement — scales fold into kernels at freeze)."""
+        cfg_q, variables, imgs, windows = setup
+        cfg_pc = cfg_q.replace(per_channel_acts=True)
+        from objectdetection_tpu.quant import freeze_weights
+
+        skel = detector.init_variables(cfg_pc, jax.random.PRNGKey(0))
+        # vector act scales exist in the per-channel tree
+        fpn_scales = jax.tree_util.tree_flatten_with_path(skel["quant"])[0]
+        assert any(
+            leaf.ndim == 1 and "out_scale" in str(path)
+            for path, leaf in fpn_scales
+        )
+        pc_vars = calibrate_variables(
+            {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "quant": skel["quant"],
+            },
+            imgs,
+            cfg_pc,
+        )
+        pc_vars = freeze_weights(pc_vars)
+        det_pc = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_pc)
+        )(pc_vars, imgs, windows)
+        det_q = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_q)
+        )(variables, imgs, windows)
+        npc, nq = int(det_pc.valid.sum()), int(det_q.valid.sum())
+        assert npc >= 1 and abs(npc - nq) <= max(3, (npc + nq) // 50)
+        # every per-channel detection should have a close per-tensor match
+        bq = np.asarray(det_q.boxes[0, :nq])
+        bp = np.asarray(det_pc.boxes[0, :npc])
+        n = min(nq, 5)
+        y1 = np.maximum(bq[:n, None, 0], bp[None, :, 0])
+        x1 = np.maximum(bq[:n, None, 1], bp[None, :, 1])
+        y2 = np.minimum(bq[:n, None, 2], bp[None, :, 2])
+        x2 = np.minimum(bq[:n, None, 3], bp[None, :, 3])
+        inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+        area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        iou = inter / (area(bq[:n])[:, None] + area(bp)[None, :] - inter + 1e-9)
+        assert (iou.max(axis=1) > 0.8).sum() >= n - 1, iou.max(axis=1)
 
     def test_quant_artifact_roundtrip(self, setup, tmp_path):
         """save_quantized → load_quantized preserves dtypes and numerics.
