@@ -370,7 +370,8 @@ def cmd_quantize(args):
 
     shapes = args.config == "shapes"
     cfg = (SHAPES_CONFIG if shapes else COCO_CONFIG).replace(
-        quantized_inference=True
+        quantized_inference=True,
+        per_channel_acts=args.per_channel,
     )
     if args.post_nms:
         cfg = cfg.replace(
@@ -543,7 +544,14 @@ def main(argv=None):
     q.add_argument("--calib-images", type=int, default=16)
     q.add_argument("--batch-size", type=int, default=4)
     q.add_argument("--percentile", type=float, default=None,
-                   help="robust per-chunk-absmax percentile (e.g. 99.5)")
+                   help="robust per-chunk-absmax percentile (e.g. 90; the "
+                   "measured-best shapes recipe is --per-channel "
+                   "--percentile 90 with 16 chunks)")
+    q.add_argument("--per-channel", action="store_true",
+                   help="per-input-channel activation scales folded into "
+                   "frozen kernels (cfg.per_channel_acts): int8 accuracy "
+                   "cost drops to -0.3/-1.4 box/mask mAP@0.5 vs -4.4/-5.3 "
+                   "per-tensor (serve auto-detects the artifact layout)")
     q.add_argument("--seed", type=int, default=0)
     q.add_argument("--post-nms", type=int, default=0,
                    help="match the post-nms budget of the train run")

@@ -68,8 +68,10 @@ _TALL = (48, 24)
 _BIG = (48, 44)
 _NONTOP_CLASSES = (_SMALL, _WIDE, _TALL, _BIG)
 
-K_ROIS = 8  # ROIs per grid step (b96 sweep: 70.6 ms @K=8 vs 73.8 @K=4,
-# 71.1 @K=16 — benchmarks/roi_align_k_probe.py, x-first kernel)
+K_ROIS = 16  # ROIs per grid step. b96 sweep (roi_align_k_probe, x-first
+# kernel): realistic ROI-size mix 82.0 @K=8 / 70.5 @K=16 / 69.4 @K=24;
+# degenerate all-huge mix flat at ~71 for K 8-24. K=16 takes the realistic
+# win at half K=24's VMEM scratch.
 
 
 def pallas_roi_align_supported(features) -> bool:

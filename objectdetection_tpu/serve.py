@@ -128,8 +128,18 @@ def serve(
     if class_names is None:
         class_names = COCO_CLASS_NAMES
     if quantized:
-        cfg = cfg.replace(quantized_inference=True)
         variables = jax.device_put(checkpoint.load_quantized(quantized))
+        # artifacts calibrated with per-channel act scales carry [C]
+        # out_scale vectors — the model config must match the tree layout
+        per_channel = any(
+            leaf.ndim == 1 and getattr(path[-1], "key", "") == "out_scale"
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                variables.get("quant", {})
+            )[0]
+        )
+        cfg = cfg.replace(
+            quantized_inference=True, per_channel_acts=per_channel
+        )
     else:
         variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
         if weights:
