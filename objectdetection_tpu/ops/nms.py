@@ -178,7 +178,12 @@ def non_max_suppression(
         pt = min(tile_size, 256)
         pboxes = _pad_to_multiple(sboxes, pt, axis=0, value=0.0)
         pclass = _pad_to_multiple(sclass, pt, axis=0, value=-1)
-        out_boxes = nms_suppress_pallas(pboxes, pclass, iou_threshold, tile_size=pt)
+        # the finalize below consumes at most max_output survivors — the
+        # kernel can stop as soon as that many exist (budget early-exit)
+        out_boxes = nms_suppress_pallas(
+            pboxes, pclass, iou_threshold, tile_size=pt,
+            budget=max_output,
+        )
         return _finalize(out_boxes, svalid, order, n, max_output)
 
     def tile_body(i, state_boxes):
