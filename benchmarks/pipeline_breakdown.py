@@ -28,6 +28,7 @@ def main():
     p.add_argument("--image-size", type=int, default=1024)
     p.add_argument("--backbone", default="resnet101")
     p.add_argument("--no-int8", dest="int8", action="store_false", default=True)
+    p.add_argument("--per-channel", action="store_true")
     p.add_argument("--stages", default="")
     args = p.parse_args()
 
@@ -43,11 +44,13 @@ def main():
         image_shape=(args.image_size, args.image_size, 3),
         image_max_dim=args.image_size,
         quantized_inference=args.int8,
+        per_channel_acts=args.per_channel,
     )
+    pc = "_pc" if args.per_channel else ""
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts",
-        f"quant_{args.backbone}_{args.image_size}.ckpt",
+        f"quant_{args.backbone}_{args.image_size}{pc}.ckpt",
     )
     if args.int8 and os.path.isdir(cache):
         variables = jax.device_put(checkpoint.load_quantized(cache))

@@ -73,14 +73,16 @@ class _QuantConvParams(nn.Module):
     params ("kernel" HWIO, "bias") and quant variables ("kernel_scale",
     "act_scale") under the same module name, but performs no compute.
 
-    Used by the fused-bottleneck path, which reads the frozen int8 weights
-    and calibrated scales directly and hands them to the Pallas kernel —
-    checkpoints and calibration remain layout-identical either way.
+    Used by fusing consumers (the Pallas fused-bottleneck path, the RPN
+    fused-head conv), which read the frozen int8 weights and calibrated
+    scales directly — checkpoints and calibration remain layout-identical
+    either way.
     """
 
     features: int
     kernel_size: Tuple[int, int]
     cin: int
+    per_channel: bool = False  # act_scale is [cin] (QuantConv.per_channel)
 
     @nn.compact
     def __call__(self):
@@ -99,8 +101,9 @@ class _QuantConvParams(nn.Module):
             "kernel_scale",
             lambda: jnp.ones((self.features,), jnp.float32),
         )
+        act_shape = (self.cin,) if self.per_channel else ()
         act_scale = self.variable(
-            "quant", "act_scale", lambda: jnp.zeros((), jnp.float32)
+            "quant", "act_scale", lambda: jnp.zeros(act_shape, jnp.float32)
         )
         return kernel, bias, kernel_scale.value, act_scale.value
 

@@ -50,10 +50,6 @@ class RPNHead(nn.Module):
             self.channels, (3, 3), strides=(s, s), padding="SAME",
             name="rpn_conv_shared", per_channel=pc,
         )
-        class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw",
-                               per_channel=pc)
-        bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred",
-                              per_channel=pc)
 
         if self.quantized:
             # one shared activation scale for the relu'd shared-conv output:
@@ -68,15 +64,64 @@ class RPNHead(nn.Module):
                 lambda: jnp.zeros((self.channels,) if pc else (), jnp.float32),
             )
 
+        int8_infer = self.quantized and not self.is_mutable_collection("quant")
+        if int8_infer:
+            # Fused-head int8 path: ONE 2k+4k-output conv instead of two
+            # 1x1s, so the int8 shared tensor (P2: ~1.6 GB at batch 96) is
+            # read once, not twice. Both heads consume the same input scale
+            # (shared_scale), so their int8 kernels, per-output-channel
+            # scales, and biases concat directly on the output axis — the
+            # summations are identical, the result is bit-equal to two
+            # separate QuantConvs. Params stay split (declared via
+            # _QuantConvParams mirrors) for checkpoint-layout parity.
+            from objectdetection_tpu.models.backbone import _QuantConvParams
+            from objectdetection_tpu.quant import ACT_QMAX, weight_qparams
+
+            k_c, b_c, ks_c, _ = _QuantConvParams(
+                2 * k, (1, 1), self.channels, per_channel=pc,
+                name="rpn_class_raw",
+            )()
+            k_d, b_d, ks_d, _ = _QuantConvParams(
+                4 * k, (1, 1), self.channels, per_channel=pc,
+                name="rpn_bbox_pred",
+            )()
+
+            def prep(kern, ks):
+                if kern.dtype == jnp.int8:  # frozen offline (pre-folded)
+                    return kern, ks
+                if pc:
+                    kern = kern * (shared_scale.value / ACT_QMAX).reshape(
+                        1, 1, -1, 1
+                    )
+                return weight_qparams(kern)
+
+            (k8c, swc), (k8d, swd) = prep(k_c, ks_c), prep(k_d, ks_d)
+            k8f = jnp.concatenate([k8c, k8d], axis=-1)  # [1, 1, C, 6k]
+            sw_f = jnp.concatenate([swc, swd])
+            post = sw_f if pc else (shared_scale.value / ACT_QMAX) * sw_f
+            bias_f = jnp.concatenate([b_c, b_d])
+        else:
+            class_conv = make_conv(2 * k, (1, 1), name="rpn_class_raw",
+                                   per_channel=pc)
+            bbox_conv = make_conv(4 * k, (1, 1), name="rpn_bbox_pred",
+                                  per_channel=pc)
+
         logits_all: List[Array] = []
         deltas_all: List[Array] = []
         for fm in feature_maps:
             shared = nn.relu(shared_conv(fm))
             b = shared.shape[0]
-            if self.quantized and not self.is_mutable_collection("quant"):
+            if int8_infer:
                 s8 = quantize_act(shared, shared_scale.value)
-                logits = class_conv(s8, in_scale=shared_scale.value)
-                deltas = bbox_conv(s8, in_scale=shared_scale.value)
+                y32 = jax.lax.conv_general_dilated(
+                    s8, k8f, window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (y32.astype(jnp.float32) * post).astype(dt)
+                y = y + bias_f.astype(dt)
+                logits = y[..., : 2 * k]
+                deltas = y[..., 2 * k :]
             else:
                 if self.quantized:  # calibration: record across all levels
                     a = jnp.abs(shared.astype(jnp.float32))

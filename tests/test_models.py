@@ -115,6 +115,50 @@ class TestRPNHead:
         )
 
 
+class TestRPNHeadQuantized:
+    @pytest.mark.parametrize("pc", [False, True])
+    def test_fused_int8_heads_match_float(self, pc):
+        """The fused single-conv int8 head path (kernels/scales/biases of
+        rpn_class_raw + rpn_bbox_pred concatenated on the output axis)
+        reproduces the float heads within int8 tolerance, calibrated and
+        frozen, for per-tensor and per-channel act scales."""
+        from objectdetection_tpu.quant import freeze_weights
+
+        rng = np.random.RandomState(0)
+        feats = [
+            jnp.asarray(rng.randn(2, s, s, 64).astype(np.float32))
+            for s in (16, 8)
+        ]
+        qhead = RPNHead(
+            anchors_per_location=3, channels=64, dtype=jnp.float32,
+            quantized=True, per_channel=pc,
+        )
+        fhead = RPNHead(
+            anchors_per_location=3, channels=64, dtype=jnp.float32,
+        )
+        variables = qhead.init(jax.random.PRNGKey(1), feats)
+        # calibrate (records shared_scale + conv act scales), then freeze
+        (_, _, _), mutated = qhead.apply(variables, feats, mutable=["quant"])
+        variables = {**variables, "quant": mutated["quant"]}
+        frozen = freeze_weights(variables)
+        lq, pq, dq = qhead.apply(frozen, feats)
+        lf, pf, df = fhead.apply({"params": variables["params"]}, feats)
+        # int8 path: coarse agreement (quantization noise), finite, and the
+        # class/bbox split comes from the right kernel halves (a swapped
+        # concat would decorrelate completely)
+        corr = np.corrcoef(
+            np.asarray(lq).ravel(), np.asarray(lf).ravel()
+        )[0, 1]
+        assert corr > 0.99, corr
+        corr_d = np.corrcoef(
+            np.asarray(dq).ravel(), np.asarray(df).ravel()
+        )[0, 1]
+        assert corr_d > 0.99, corr_d
+        np.testing.assert_allclose(
+            np.asarray(pq.sum(-1)), 1.0, rtol=1e-5
+        )
+
+
 class TestHeads:
     def test_box_head_shapes(self):
         head = BoxClassHead(num_classes=4, dtype=jnp.float32)
