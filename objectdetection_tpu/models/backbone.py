@@ -32,6 +32,7 @@ from objectdetection_tpu.ops.s2d import depth_to_space, space_to_depth
 from objectdetection_tpu.quant import (
     conv_factory,
     dequantize_act,
+    int8_conv,
     quantize_act,
     weight_qparams,
 )
@@ -308,11 +309,7 @@ class Stage1Conv(nn.Module):
                     k8, sw = kernel, kernel_scale.value
                 else:
                     k8, sw = weight_qparams(kernel)
-                y32 = jax.lax.conv_general_dilated(
-                    x8, k8, window_strides=(2, 2), padding=((3, 3), (3, 3)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
+                y32 = int8_conv(x8, k8, (2, 2), ((3, 3), (3, 3)))
                 y = (
                     y32.astype(jnp.float32) * (act_scale.value / 127.0 * sw)
                 ).astype(dt)

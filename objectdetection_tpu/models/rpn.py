@@ -112,12 +112,10 @@ class RPNHead(nn.Module):
             shared = nn.relu(shared_conv(fm))
             b = shared.shape[0]
             if int8_infer:
+                from objectdetection_tpu.quant import int8_conv
+
                 s8 = quantize_act(shared, shared_scale.value)
-                y32 = jax.lax.conv_general_dilated(
-                    s8, k8f, window_strides=(1, 1), padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
+                y32 = int8_conv(s8, k8f, (1, 1), "SAME")
                 y = (y32.astype(jnp.float32) * post).astype(dt)
                 y = y + bias_f.astype(dt)
                 logits = y[..., : 2 * k]

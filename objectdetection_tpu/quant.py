@@ -44,6 +44,47 @@ ACT_QMAX = 127.0
 W_QMAX = 127.0
 
 
+def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
+    """The int8 conv, backend-dispatched.
+
+    On TPU: int8×int8 → int32 on the MXU (the whole point of the PTQ
+    path). On CPU (tests, CI): XLA:CPU has no vectorized int8 conv and
+    falls back to scalar loops — measured 187× slower than f32 (12 s vs
+    0.064 s for one 64²×256×256 3×3 conv; this single op made the test
+    suite's int8 e2e fixtures take 175 s per forward). Run the identical
+    integer values through the f32 pipeline instead: exact whenever a
+    per-output accumulation stays below 2^24 (always true for the unit
+    tests' small convs), and within f32-mantissa rounding of the int32
+    result beyond that — the e2e assertions are detection-level and
+    tolerance-based.
+    """
+    if jax.default_backend() == "tpu":
+        return jax.lax.conv_general_dilated(
+            x8, k8, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    return jax.lax.conv_general_dilated(
+        x8.astype(jnp.float32), k8.astype(jnp.float32),
+        window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def int8_dot(x8: Array, k8: Array) -> Array:
+    """Contraction of x8's last axis with k8's first: int8 MXU path on TPU,
+    f32 on CPU (see int8_conv for why)."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.dot_general(
+            x8, k8, (((x8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    return jax.lax.dot_general(
+        x8.astype(jnp.float32), k8.astype(jnp.float32),
+        (((x8.ndim - 1,), (0,)), ((), ())),
+    )
+
+
 def quantize_act(x: Array, scale: Array) -> Array:
     """Symmetric per-tensor activation quantization to int8."""
     inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
@@ -210,14 +251,7 @@ class QuantConv(nn.Module):
                 else:
                     k8, sw = weight_qparams(kernel)
                 post = sx * xc(sw)
-            y32 = jax.lax.conv_general_dilated(
-                x8,
-                xk(k8),
-                window_strides=self.strides,
-                padding=padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
+            y32 = int8_conv(x8, xk(k8), self.strides, padding)
             y = y32.astype(jnp.float32) * post
             y = y.astype(self.dtype)
         if bias is not None:
@@ -290,12 +324,7 @@ class QuantDense(nn.Module):
                 else:
                     k8, sw = weight_qparams(kernel)
                 post = (act_scale.value / ACT_QMAX) * sw
-            y32 = jax.lax.dot_general(
-                x8,
-                k8,
-                (((x8.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+            y32 = int8_dot(x8, k8)
             y = (y32.astype(jnp.float32) * post).astype(self.dtype)
         if bias is not None:
             y = y + bias.astype(self.dtype)

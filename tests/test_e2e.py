@@ -59,6 +59,7 @@ class TestInference:
         assert det.masks is None
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestTraining:
     def test_losses_finite_and_decrease(self, dataset):
         state = detector.create_train_state(CFG, jax.random.PRNGKey(0))

@@ -141,6 +141,7 @@ class TestFusedBlock:
         )  # ragged height
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestFusedBackboneIntegration:
     """ResNetBottomUp with fused_bottleneck on == off (int8, frozen), i.e.
     the _QuantConvParams/_BNParams mirrors bind the same variables and the

@@ -66,6 +66,7 @@ def _compute_outputs():
     }
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestGoldenRegression:
     @pytest.fixture(scope="class")
     def outputs(self):

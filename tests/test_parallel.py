@@ -83,6 +83,7 @@ class TestParallelInference:
         )
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestTensorParallel:
     def test_dp_tp_mesh_step_matches_replicated(self):
         mesh2d = parallel.make_dp_tp_mesh(dp=4, tp=2)
@@ -114,6 +115,7 @@ class TestTensorParallel:
         )
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestParallelTraining:
     def test_step_runs_and_losses_match_global(self, mesh):
         state = detector.create_train_state(CFG, jax.random.PRNGKey(0))

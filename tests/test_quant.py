@@ -196,6 +196,7 @@ class TestQuantConv:
             assert qp[n].shape == fp_[n].shape
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestPercentileCalibration:
     def test_percentile_resists_outlier_chunk(self):
         # one chunk with a huge outlier: running-max calibration adopts it,

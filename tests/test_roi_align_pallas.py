@@ -58,6 +58,7 @@ def _boxes():
     return jnp.asarray(np.stack([b1, b2]))
 
 
+@pytest.mark.slow  # compile/interpret-heavy: run via `pytest -m ""` or CI
 class TestPallasRoiAlign:
     def test_supported_gate(self, pyramid):
         assert pallas_roi_align_supported(pyramid)
