@@ -56,13 +56,12 @@ def detection_layer(
         refined = apply_box_deltas(props, d * stddev)
         refined = clip_boxes(refined, win)
 
-        # proposals are zero-padded; padding rows have zero area
-        is_real = (props[:, 2] - props[:, 0]) * (props[:, 3] - props[:, 1]) > 0
-        valid = (
-            is_real
-            & (class_ids > 0)
-            & (scores > config.detection_min_threshold)
-        )
+        # Keep rule = EXACTLY the reference's (detection.py:150-158):
+        # foreground argmax class AND score above the gate. No zero-area
+        # filter — the reference keeps degenerate window-edge boxes (and
+        # even zero-padded proposal rows) if the head scores them; the
+        # end-to-end reference golden pins this behavior.
+        valid = (class_ids > 0) & (scores > config.detection_min_threshold)
 
         res = non_max_suppression(
             refined,

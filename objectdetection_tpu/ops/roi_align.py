@@ -107,8 +107,12 @@ def roi_levels(
         canonical_size / np.sqrt(image_area)
     )
     lvl = canonical_level + jnp.round(jnp.log2(scale)).astype(jnp.int32)
-    # degenerate (zero-padded) boxes pin to the coarsest level
-    lvl = jnp.where(h * w > 0, lvl, max_level)
+    # zero-area boxes pin to the FINEST level, matching the reference:
+    # log2(sqrt(0)) = -inf there, so max(min_k, ...) lands on min_level
+    # (maskrcnn.py:119-121). Found by the end-to-end reference golden —
+    # pooled features (and thus head scores) of degenerate clipped
+    # proposals diverged when these rows used max_level instead.
+    lvl = jnp.where(h * w > 0, lvl, min_level)
     return jnp.clip(lvl, min_level, max_level)
 
 

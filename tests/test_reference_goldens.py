@@ -279,3 +279,206 @@ class TestReferenceCropAndResize:
                 np.asarray(got), want[sel], atol=1e-5,
                 err_msg=f"img {img_idx} size {size}",
             )
+
+
+@pytest.mark.slow  # full R101 f32 forward at 256² on CPU (compile-heavy)
+class TestReferenceEndToEnd:
+    """The WHOLE pipeline — FPN R101 → RPN → proposals → box head →
+    detection layer — against values the reference's own graphs computed
+    end-to-end on one seeded image with seeded weights
+    (tools/gen_reference_goldens.py::gen_end_to_end, ≙ the reference
+    inference path inference.py:74-213). This is the cross-implementation
+    capstone: a failure in ANY stage's numerics surfaces here."""
+
+    def _variables_and_cfg(self, g):
+        import sys
+
+        sys.path.insert(0, TOOLS)
+        from gen_reference_goldens import (
+            E2E_SEED_FPN,
+            E2E_SEED_HEAD,
+            E2E_SEED_RPN,
+            seeded_net_weights,
+        )
+        from objectdetection_tpu import detector
+        from objectdetection_tpu.config import COCO_CONFIG
+
+        cfg = COCO_CONFIG.replace(
+            image_shape=(256, 256, 3),
+            image_min_dim=256,
+            image_max_dim=256,
+            num_classes=4,
+            compute_dtype="float32",
+            use_approx_topk=False,
+        )
+        variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+
+        tfvals = {}
+        for prefix, seed in (
+            ("fpn", E2E_SEED_FPN), ("rpn", E2E_SEED_RPN),
+            ("head", E2E_SEED_HEAD),
+        ):
+            names = [str(n) for n in g[f"{prefix}_var_names"]]
+            shapes = [
+                tuple(int(d) for d in g[f"{prefix}_var_shape__{i}"])
+                for i in range(len(names))
+            ]
+            tfvals.update(
+                seeded_net_weights(list(zip(names, shapes)), seed=seed)
+            )
+
+        # head layers need scope/reshape special-casing (raw-TF head:
+        # nested scopes, conv-as-dense kernels, NO BatchNorm — neutralize
+        # the flax head's FrozenBatchNorm with scale = sqrt(1 + eps))
+        special = {
+            ("mrcnn_class_conv1", "kernel"): lambda: tfvals[
+                "mrcnn_class_conv1/kernel:0"
+            ].reshape(-1, 1024),
+            ("mrcnn_class_conv2", "kernel"): lambda: tfvals[
+                "mrcnn_class_conv2/kernel:0"
+            ].reshape(1024, 1024),
+            ("mrcnn_class_logits", "kernel"): lambda: tfvals[
+                "mrcnn_class_scores/mrcnn_class_logits/kernel:0"
+            ],
+            ("mrcnn_class_logits", "bias"): lambda: tfvals[
+                "mrcnn_class_scores/mrcnn_class_logits/bias:0"
+            ],
+            ("mrcnn_bbox_fc", "kernel"): lambda: tfvals[
+                "mrcnn_class_bbox/mrcnn_bbox/kernel:0"
+            ],
+            ("mrcnn_bbox_fc", "bias"): lambda: tfvals[
+                "mrcnn_class_bbox/mrcnn_bbox/bias:0"
+            ],
+        }
+        neutral = {
+            ("mrcnn_class_bn1", "scale"): lambda: np.full(
+                (1024,), np.sqrt(1.0 + 1e-3), np.float32
+            ),
+            ("mrcnn_class_bn2", "scale"): lambda: np.full(
+                (1024,), np.sqrt(1.0 + 1e-3), np.float32
+            ),
+            ("mrcnn_class_bn1", "bias"): lambda: np.zeros(1024, np.float32),
+            ("mrcnn_class_bn2", "bias"): lambda: np.zeros(1024, np.float32),
+            ("mrcnn_class_bn1", "mean"): lambda: np.zeros(1024, np.float32),
+            ("mrcnn_class_bn2", "mean"): lambda: np.zeros(1024, np.float32),
+            ("mrcnn_class_bn1", "var"): lambda: np.ones(1024, np.float32),
+            ("mrcnn_class_bn2", "var"): lambda: np.ones(1024, np.float32),
+        }
+        bn_leaf = {
+            "scale": "gamma", "bias": "beta",
+            "mean": "moving_mean", "var": "moving_variance",
+        }
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+        new = []
+        filled = 0
+        for path, leaf in flat:
+            keys = [getattr(p, "key", str(p)) for p in path]
+            layer, leafn = keys[-2], keys[-1]
+            fn = special.get((layer, leafn)) or neutral.get((layer, leafn))
+            if fn is not None:
+                val = fn()
+            else:
+                is_bn = layer.startswith("bn") or "_bn" in layer
+                tf_leaf = bn_leaf.get(leafn, leafn) if is_bn else leafn
+                val = tfvals.get(f"{layer}/{tf_leaf}:0")
+            if val is None:
+                new.append(leaf)  # mask head etc. — unused (with_masks off)
+                continue
+            assert tuple(val.shape) == tuple(np.asarray(leaf).shape), (
+                layer, leafn, val.shape, leaf.shape,
+            )
+            new.append(jnp.asarray(val, leaf.dtype))
+            filled += 1
+        assert filled > 600, filled  # R101 + FPN + RPN + head
+        return jax.tree_util.tree_unflatten(treedef, new), cfg
+
+    def test_full_pipeline_matches(self):
+        g = load("reference_end_to_end.npz")
+        from objectdetection_tpu import detector
+        from objectdetection_tpu.anchors import config_anchors
+
+        variables, cfg = self._variables_and_cfg(g)
+
+        # anchors: ours == the reference's gen_anchors table
+        anchors = np.asarray(config_anchors(cfg))
+        np.testing.assert_allclose(anchors, g["anchors"][0], atol=1e-6)
+
+        det, inter = jax.jit(
+            lambda v, i, w: detector.forward_inference(
+                v, i, w, cfg, with_masks=False, return_intermediates=True
+            )
+        )(variables, jnp.asarray(g["image"]), jnp.asarray(g["window"]))
+
+        # pyramid (the 101-layer accumulation bounds the tolerance)
+        for i in (2, 3, 4, 5, 6):
+            np.testing.assert_allclose(
+                np.asarray(inter["pyramid"][f"p{i}"]), g[f"p{i}"],
+                atol=5e-3, err_msg=f"P{i}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(inter["rpn_class_probs"]), g["rpn_probs"], atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(inter["rpn_bbox"]), g["rpn_deltas"], atol=2e-3
+        )
+
+        # proposals: compare by IoU matching (boundary-rank rows may swap)
+        ours = np.asarray(inter["proposals"][0])
+        ref = g["proposals"][0]
+        m = _match_rate(ref[:500], ours, iou_thr=0.995)
+        assert m > 0.98, m
+
+        # final detections: every confident reference detection must have
+        # an IoU/class/score-matching counterpart
+        dref = g["detections"][0]
+        dours = np.concatenate(
+            [
+                np.asarray(det.boxes[0]),
+                np.asarray(det.class_ids[0])[:, None].astype(np.float32),
+                np.asarray(det.scores[0])[:, None],
+            ],
+            axis=1,
+        )
+        ref_rows = dref[dref[:, 5] > 0.75]
+        our_rows = dours[dours[:, 5] > 0.0]
+        assert len(ref_rows) > 10  # the golden must be non-vacuous
+        matched = 0
+        for r in ref_rows:
+            # box match: L∞ coordinate distance (handles the zero-area
+            # boxes whose IoU is degenerate) or IoU > 0.9
+            linf = np.abs(our_rows[:, :4] - r[None, :4]).max(axis=1)
+            iou = _iou_one_to_many(r[:4], our_rows[:, :4])
+            box_ok = (linf <= 2e-3) | (iou > 0.9)
+            cls_ok = our_rows[:, 4].astype(int) == int(r[4])
+            score_ok = np.abs(our_rows[:, 5] - r[5]) < 0.05
+            if (box_ok & cls_ok & score_ok).any():
+                matched += 1
+        assert matched >= 0.9 * len(ref_rows), (matched, len(ref_rows))
+
+
+def _iou_one_to_many(box, boxes):
+    y1 = np.maximum(box[0], boxes[:, 0])
+    x1 = np.maximum(box[1], boxes[:, 1])
+    y2 = np.minimum(box[2], boxes[:, 2])
+    x2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(y2 - y1, 0, None) * np.clip(x2 - x1, 0, None)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (a + b - inter + 1e-9)
+
+
+def _match_rate(ref, ours, iou_thr, coord_tol=2e-3):
+    """Fraction of nonzero ref rows with a counterpart in ours: either
+    coordinates equal within `coord_tol` (L∞) — required for the many
+    ZERO-AREA proposals clipped flat against the window, whose IoU is
+    0/0 — or IoU >= iou_thr."""
+    hits = 0
+    for r in ref:
+        if (r == 0).all():
+            continue
+        linf = np.abs(ours - r[None, :]).max(axis=1)
+        if linf.min() <= coord_tol or _iou_one_to_many(r, ours).max() >= iou_thr:
+            hits += 1
+    n = max((np.abs(ref).sum(1) > 0).sum(), 1)
+    return hits / n

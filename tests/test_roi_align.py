@@ -86,11 +86,14 @@ class TestLevels:
         lv = np.asarray(roi_align.roi_levels(boxes, area))
         np.testing.assert_array_equal(lv, [4, 3, 5, 2])
 
-    def test_degenerate_box_pinned_to_max(self):
+    def test_degenerate_box_pinned_to_min(self):
+        # zero-area boxes take the FINEST level: the reference's
+        # log2(sqrt(0)) = -inf lands on max(min_k, ...) = 2
+        # (maskrcnn.py:119-121; pinned by the end-to-end golden)
         lv = np.asarray(
             roi_align.roi_levels(jnp.zeros((3, 4)), 1024.0 * 1024.0)
         )
-        np.testing.assert_array_equal(lv, [5, 5, 5])
+        np.testing.assert_array_equal(lv, [2, 2, 2])
 
 
 class TestMultilevel:

@@ -326,6 +326,287 @@ def gen_rpn(tf1):
     np.savez_compressed(os.path.join(GOLDEN_DIR, "reference_rpn.npz"), **out)
 
 
+def seeded_net_weights(names_shapes, seed):
+    """Deterministic weights for a FULL network's sorted (name, shape) list.
+
+    Unlike `seeded_weights` (flat 0.02-std, fine for single heads), these
+    keep activations bounded through the 101-layer backbone: He-scaled conv
+    kernels, near-identity BatchNorm statistics, small biases. The
+    mrcnn_class_logits kernel is scaled up so softmax probabilities spread
+    enough for detections to clear DETECTION_MIN_THRESHOLD.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = {}
+    for name, shape in names_shapes:
+        if name.endswith("/gamma:0"):
+            v = 1.0 + 0.05 * rng.standard_normal(shape)
+            if "branch2c" in name:
+                # residual-branch damping: with He kernels and unit-gamma
+                # BN every bottleneck DOUBLES activation variance and the
+                # 33-block backbone blows up to ~1e6 (observed). A small
+                # gamma on each block's last BN keeps the stream bounded —
+                # the same reasoning as standard zero-gamma ResNet init.
+                v = 0.1 * v
+        elif name.endswith("/beta:0") or name.endswith("/moving_mean:0"):
+            v = 0.05 * rng.standard_normal(shape)
+        elif name.endswith("/moving_variance:0"):
+            v = 1.0 + np.abs(0.05 * rng.standard_normal(shape))
+        elif name.endswith("/bias:0"):
+            v = 0.02 * rng.standard_normal(shape)
+        elif len(shape) == 4:  # conv kernel [kh, kw, cin, cout]
+            fan_in = shape[0] * shape[1] * shape[2]
+            v = rng.standard_normal(shape) * np.sqrt(2.0 / fan_in)
+        else:  # dense kernel [cin, cout] (raw-TF head fc_layers)
+            v = rng.standard_normal(shape) * np.sqrt(1.0 / shape[0])
+        if "mrcnn_class_logits" in name and "bias" not in name:
+            # temper the logits so class probs spread across (0.3, 0.995)
+            # instead of saturating to exactly 1.0 — saturated ties make
+            # the detection ranking arbitrary and the golden uncomparable
+            # (the head's FC activations have rms >> 1 with these weights)
+            v = v * 0.25
+        if "mrcnn_bbox/kernel" in name:
+            # temper box deltas: untempered random deltas throw every box
+            # off-window, clipping them all to degenerate zero-area edge
+            # boxes (again tie-city). Small deltas keep refined boxes near
+            # their proposals.
+            v = v * 0.02
+        out[name] = v.astype("float32")
+    return out
+
+
+def _names_shapes(tf1):
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    return tvars, [(v.name, v.shape.as_list()) for v in tvars]
+
+
+def _pack_names(out, prefix, names_shapes):
+    import numpy as np
+
+    out[f"{prefix}_var_names"] = np.array([n for n, _ in names_shapes])
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"{prefix}_var_shape__{i}"] = np.asarray(shape, np.int64)
+
+
+def _patch_keras3_gaps(tf1):
+    """The installed Keras 3 removed the TF1-graph-compatible layer APIs the
+    reference's FPN uses (`tf.layers.batch_normalization/max_pooling2d`,
+    `keras.layers.UpSampling2D/Add` on graph tensors). Shim them with raw
+    TF1 equivalents that create IDENTICALLY-NAMED variables
+    ({name}/gamma, beta, moving_mean, moving_variance), so the recorded
+    (name, shape) lists and the seeded weights are exactly what the
+    original stack would produce. Semantics: tf.layers.batch_normalization
+    inference mode with its default epsilon 1e-3 (= the flax
+    FrozenBatchNorm)."""
+    import keras.layers as KL
+
+    def batch_normalization(
+        x, axis=-1, name=None, trainable=False, epsilon=1e-3, **kw
+    ):
+        assert axis in (-1, 3)
+        c = x.get_shape().as_list()[-1]
+        with tf1.variable_scope(name, reuse=tf1.AUTO_REUSE):
+            gamma = tf1.get_variable(
+                "gamma", [c], initializer=tf1.ones_initializer(),
+                trainable=trainable,
+            )
+            beta = tf1.get_variable(
+                "beta", [c], initializer=tf1.zeros_initializer(),
+                trainable=trainable,
+            )
+            mean = tf1.get_variable(
+                "moving_mean", [c], initializer=tf1.zeros_initializer(),
+                trainable=False,
+            )
+            var = tf1.get_variable(
+                "moving_variance", [c], initializer=tf1.ones_initializer(),
+                trainable=False,
+            )
+        return tf1.nn.batch_normalization(x, mean, var, beta, gamma, epsilon)
+
+    def max_pooling2d(x, pool_size, strides, padding="valid", name=None):
+        return tf1.nn.max_pool2d(
+            x, ksize=pool_size, strides=strides, padding=padding.upper(),
+            name=name,
+        )
+
+    class _UpSampling2D:
+        def __init__(self, size=(2, 2), name=None):
+            self.sy, self.sx = size
+
+        def __call__(self, x):
+            b, h, w, c = x.get_shape().as_list()
+            x = tf1.reshape(x, [-1, h, 1, w, 1, c])
+            x = tf1.tile(x, [1, 1, self.sy, 1, self.sx, 1])
+            return tf1.reshape(x, [-1, h * self.sy, w * self.sx, c])
+
+    class _Add:
+        def __init__(self, name=None):
+            pass
+
+        def __call__(self, xs):
+            return xs[0] + xs[1]
+
+    # tf1.layers is a Keras lazy-loader that raises on BOTH getattr and
+    # setattr under Keras 3 — replace the whole attribute with a namespace
+    tf1.layers = types.SimpleNamespace(
+        batch_normalization=batch_normalization,
+        max_pooling2d=max_pooling2d,
+    )
+    KL.UpSampling2D = _UpSampling2D
+    KL.Add = _Add
+
+
+E2E_SIZE = 256  # 2^6-divisible; keeps the R101 TF run and the npz small
+E2E_SEED_IMAGE = 5150
+E2E_SEED_FPN = 31415
+E2E_SEED_RPN = 8128
+E2E_SEED_HEAD = 6174
+E2E_NUM_CLASSES = 4
+
+
+def gen_end_to_end(tf1):
+    """The WHOLE reference inference pipeline (inference.py:74-213) on one
+    seeded image with seeded weights: FPN R101 → per-level RPN → proposal
+    layer → ROI pool + tf classifier → detection layer. Records every
+    stage handoff so the flax pipeline can be compared stage-by-stage AND
+    end-to-end against values the reference's own graphs computed.
+
+    Weights are NOT stored — they regenerate bit-exactly from the recorded
+    (name, shape) lists via `seeded_net_weights` (shared with the test).
+    """
+    import numpy as np
+
+    _patch_keras3_gaps(tf1)
+    from MaskRCNN.config import config as conf
+    from MaskRCNN.building_blocks import utils as ref_utils
+    from MaskRCNN.building_blocks.fpn import FPN
+    from MaskRCNN.building_blocks.rpn import RPN
+    from MaskRCNN.building_blocks.proposals_tf import Proposals
+    from MaskRCNN.building_blocks.maskrcnn import MaskRCNN
+    from MaskRCNN.building_blocks.detection import DetectionLayer
+
+    H = W = E2E_SIZE
+    B = 1
+    out = {}
+
+    rng = np.random.RandomState(E2E_SEED_IMAGE)
+    image = (rng.rand(B, H, W, 3).astype("float32")) * 2.0 - 1.0
+    out["image"] = image
+
+    # ---- FPN (inference.py:81) ----
+    tf1.reset_default_graph()
+    xin = tf1.placeholder(tf1.float32, [B, H, W, 3], name="input_image")
+    fpn_graph = FPN(conf, xin, "resnet101").get_fpn_graph()
+    tvars, ns = _names_shapes(tf1)
+    wvals = seeded_net_weights(ns, seed=E2E_SEED_FPN)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        ps = sess.run(
+            [fpn_graph[f"fpn_p{i}"] for i in (2, 3, 4, 5, 6)],
+            feed_dict={xin: image},
+        )
+    for i, p in zip((2, 3, 4, 5, 6), ps):
+        out[f"p{i}"] = p
+        print(f"e2e P{i}", p.shape, "absmax", float(np.abs(p).max()))
+    _pack_names(out, "fpn", ns)
+
+    # ---- RPN on each level (inference.py:111-134: shared weights,
+    # host loop over levels) ----
+    probs_all, deltas_all = [], []
+    for p in ps:
+        tf1.reset_default_graph()
+        obj = RPN.__new__(RPN)
+        obj.rpn_anchor_stride = conf.RPN_ANCHOR_STRIDE
+        obj.rpn_anchor_ratios = list(conf.RPN_ANCHOR_RATIOS)
+        obj.xrpn = tf1.placeholder(tf1.float32, [None] + list(p.shape[1:]))
+        obj.build()
+        tvars, rns = _names_shapes(tf1)
+        wr = seeded_net_weights(rns, seed=E2E_SEED_RPN)
+        with tf1.Session() as sess:
+            sess.run([tf1.assign(v, wr[v.name]) for v in tvars])
+            prob, bbox = sess.run(
+                [obj.rpn_class_probs, obj.rpn_bbox],
+                feed_dict={obj.xrpn: p},
+            )
+        probs_all.append(prob)
+        deltas_all.append(bbox)
+    rpn_probs = np.concatenate(probs_all, axis=1)
+    rpn_deltas = np.concatenate(deltas_all, axis=1)
+    out["rpn_probs"] = rpn_probs
+    out["rpn_deltas"] = rpn_deltas
+    _pack_names(out, "rpn", rns)
+    print("e2e rpn", rpn_probs.shape, rpn_deltas.shape)
+
+    # ---- anchors (utils.py:336) ----
+    fshapes = [tuple(p.shape[1:3]) for p in ps]
+    anchors = ref_utils.gen_anchors(
+        [H, W, 3], B, conf.RPN_ANCHOR_SCALES, list(conf.RPN_ANCHOR_RATIOS),
+        fshapes, conf.RESNET_STRIDES, conf.RPN_ANCHOR_STRIDE,
+    ).astype("float32")
+    out["anchors"] = anchors
+
+    # ---- proposal layer (inference.py:139-143) ----
+    tf1.reset_default_graph()
+    pgraph = Proposals(conf, batch_size=B).get_proposal_graph()
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())
+        proposals = sess.run(
+            pgraph["proposals"],
+            feed_dict={
+                pgraph["rpn_class_probs"]: rpn_probs,
+                pgraph["rpn_bbox"]: rpn_deltas,
+                pgraph["input_anchors"]: anchors,
+            },
+        )
+    out["proposals"] = proposals
+    print("e2e proposals", proposals.shape)
+
+    # ---- ROI pool + box/class head, raw-TF type (inference.py:168-171;
+    # the keras type differs only in variable plumbing) ----
+    tf1.reset_default_graph()
+    obj = MaskRCNN(
+        image_shape=[H, W, 3],
+        pool_shape=[7, 7],
+        num_classes=E2E_NUM_CLASSES,
+        levels=[2, 3, 4, 5],
+        proposals=proposals,
+        feature_maps=[out[f"p{i}"] for i in (2, 3, 4, 5)],
+        type="tf",
+    )
+    tvars, hns = _names_shapes(tf1)
+    wh = seeded_net_weights(hns, seed=E2E_SEED_HEAD)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wh[v.name]) for v in tvars])
+        mrcnn_probs, mrcnn_bbox = sess.run(
+            [obj.mrcnn_class_probs, obj.mrcnn_bbox]
+        )
+    out["mrcnn_probs"] = mrcnn_probs
+    out["mrcnn_bbox"] = mrcnn_bbox
+    _pack_names(out, "head", hns)
+    print("e2e mrcnn", mrcnn_probs.shape, mrcnn_bbox.shape,
+          "max prob", float(mrcnn_probs.max()))
+
+    # ---- detection layer (inference.py:176-183) ----
+    tf1.reset_default_graph()
+    window = np.array([[0, 0, H, W]], dtype="int32")
+    det_graph = DetectionLayer(
+        conf, [H, W, 3], B, window, proposals, mrcnn_probs, mrcnn_bbox
+    ).get_detections()
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())
+        detections = sess.run(det_graph)
+    out["detections"] = detections
+    out["window"] = window
+    n_det = int((np.abs(detections[0]).sum(-1) > 0).sum())
+    print("e2e detections", detections.shape, "nonzero rows", n_det)
+
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "reference_end_to_end.npz"), **out
+    )
+
+
 def main():
     tf1 = setup_reference_imports()
     gen_proposals(tf1)
@@ -333,6 +614,7 @@ def main():
     gen_crop_resize(tf1)
     gen_mrcnn_head(tf1)
     gen_rpn(tf1)
+    gen_end_to_end(tf1)
     print("goldens written to", GOLDEN_DIR)
 
 
