@@ -97,6 +97,12 @@ class DetectorConfig:
     # +2.4 img/s — accuracy-neutral speed, so ON by default. Set False for
     # bit-exact lax.top_k selection (reference-parity tests do).
     use_approx_topk: bool = True
+    # approx_max_k's recall_target drives how many reduction stages it
+    # builds; the cost cliff is steep on v5e (b96, 262k->6000: 17.3 ms at
+    # 0.98, 7.0 at 0.95, 1.0 at 0.9) while the MEASURED selection quality
+    # barely moves (recall of the true top-1000 at target 0.9: 0.994;
+    # post-NMS proposal match stays ~1.0 — benchmarks/approx_topk_recall).
+    approx_topk_recall_target: float = 0.9
     # int8 post-training-quantized inference: backbone/FPN/RPN convs run on
     # the MXU's int8 path (2x bf16 rate, half the HBM traffic). Requires
     # calibration via quant.calibrate_variables; inference only. See quant.py.

@@ -49,23 +49,32 @@ def proposal_layer(
     deltas = rpn_deltas * stddev  # proposals_tf.py:157
 
     use_approx = getattr(config, "use_approx_topk", False)
+    b, a = scores.shape
 
-    def per_image(scores_i, deltas_i):
-        if use_approx:
-            # recall≈0.98 of the true top 6000 — opt-in speed/parity trade
-            top_scores, ix = jax.lax.approx_max_k(
-                scores_i, pre_nms, recall_target=0.98
-            )
-        else:
-            top_scores, ix = jax.lax.top_k(scores_i, pre_nms)
-        # both emit descending-score order, so NMS can skip its sort
-        top_deltas = jnp.take(deltas_i, ix, axis=0)
-        top_anchors = jnp.take(anchors, ix, axis=0)
-        boxes = apply_box_deltas(top_anchors, top_deltas)
-        boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
+    if use_approx:
+        # measured selection quality at the configured recall target is
+        # near-exact — see config.approx_topk_recall_target and
+        # benchmarks/approx_topk_recall.py
+        rt = float(getattr(config, "approx_topk_recall_target", 0.95))
+        top_scores, ix = jax.vmap(
+            lambda s: jax.lax.approx_max_k(s, pre_nms, recall_target=rt)
+        )(scores)
+    else:
+        top_scores, ix = jax.lax.top_k(scores, pre_nms)
+    # flatten the batch into the gather table: a vmapped take whose
+    # operand is batched hits XLA's slow batched-gather path on TPU
+    # (~4x, same lesson as batched_multilevel_roi_align)
+    flat_ix = ix + (jnp.arange(b, dtype=ix.dtype) * a)[:, None]
+    top_deltas = jnp.take(deltas.reshape(b * a, 4), flat_ix, axis=0)
+    top_anchors = jnp.take(anchors, ix, axis=0)  # shared operand: fast path
+    boxes = apply_box_deltas(top_anchors, top_deltas)
+    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
+
+    def per_image(boxes_i, scores_i):
+        # both top-k variants emit descending-score order → NMS skips sort
         return nms_boxes(
-            boxes, top_scores, post_nms, config.rpn_nms_threshold,
+            boxes_i, scores_i, post_nms, config.rpn_nms_threshold,
             assume_sorted=True,
         )
 
-    return jax.vmap(per_image)(scores, deltas)
+    return jax.vmap(per_image)(boxes, top_scores)

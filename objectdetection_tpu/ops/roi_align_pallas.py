@@ -66,7 +66,17 @@ _SMALL = (24, 24)
 _WIDE = (24, 44)
 _TALL = (48, 24)
 _BIG = (48, 44)
-_NONTOP_CLASSES = (_SMALL, _WIDE, _TALL, _BIG)
+# strip classes for ZERO-AREA boxes (proposals clipped flat against the
+# window, whose parity level is the finest — roi_levels): their sample
+# extent in the flat dim is <= 2 px, so a narrow strip patch covers them
+# at a fraction of BIG's DMA bytes. Without these, the random-weight
+# bench's flood of flat survivors fell through to BIG at level 2
+# (~1.1 MB bf16 per ROI, measured -25 img/s).
+_FLATX = (48, 4)  # flat in x: tall 4-px strip (x extent of a flat box <= 2)
+_FLATY = (8, 44)  # flat in y: short wide strip
+# index 0 must stay a top-level-valid class (the top-level dispatch rule
+# below); preference among fitting classes is by patch AREA, not index
+_NONTOP_CLASSES = (_SMALL, _FLATX, _FLATY, _WIDE, _TALL, _BIG)
 
 K_ROIS = 16  # ROIs per grid step. b96 sweep (roi_align_k_probe, x-first
 # kernel): realistic ROI-size mix 82.0 @K=8 / 70.5 @K=16 / 69.4 @K=24;
@@ -276,8 +286,18 @@ def batched_multilevel_roi_align_pallas(
         max_level=min_level + num_levels - 1,
     )  # [B, R]
     li = (lvl - min_level).reshape(n)
-    lh = jnp.take(jnp.asarray(heights), li)  # [N]
-    lw = jnp.take(jnp.asarray(widths), li)
+    bx_flat = boxes.reshape(n, 4)
+    # ALL-ZERO boxes (the proposal/detection zero-padding rows — often the
+    # majority on sparse images: the random-weight bench carries ~576 of
+    # 1000) pool to a CONSTANT per image: every bilinear sample sits at
+    # exactly (0, 0) of the finest level, so pooled == features[0][img,0,0].
+    # Pooling them per-ROI at level 2 costs the full per-step patch-DMA
+    # overhead (measured +67 ms/batch96 when the roi_levels parity fix
+    # moved them off the cached top level) — route them through the cheap
+    # cached top-level class instead and overwrite their output with the
+    # exact value afterwards.
+    zero_row = jnp.all(bx_flat == 0.0, axis=1)  # [N]
+    li = jnp.where(zero_row, num_levels - 1, li)
 
     bx = boxes.reshape(n, 4)
     y1, x1, y2, x2 = bx[:, 0], bx[:, 1], bx[:, 2], bx[:, 3]
@@ -291,9 +311,6 @@ def batched_multilevel_roi_align_pallas(
             )
         return 0.5 * (lo + hi)[:, None] * (sizef - 1)
 
-    ys = grid_coords(pool, y1, y2, lh)  # [N, pool], in [0, lh-1]
-    xs = grid_coords(pool, x1, x2, lw)
-
     def corners(coord, size):
         i0 = jnp.floor(coord)
         w = coord - i0
@@ -301,37 +318,75 @@ def batched_multilevel_roi_align_pallas(
         i1 = jnp.minimum(i0 + 1, size[:, None] - 1)
         return i0, i1, w
 
-    y0i, y1i, wy = corners(ys, lh)
-    x0i, x1i, wx = corners(xs, lw)
-
-    y_start, y_end = y0i[:, 0], y1i[:, -1]  # grid coords are monotonic
-    x_start, x_end = x0i[:, 0], x1i[:, -1]
-
     assert pallas_roi_align_supported(features), (
         "level dims too small for the static patch classes — use the XLA "
         "roi_align (images >= ~1024² supported here)"
     )
-    # classes: aspect-aware (small/wide/tall/big) + full-top-level last
+    # classes: aspect-aware (small/wide/tall/big + flat strips) +
+    # full-top-level last
     top_class = (int(heights[-1]), int(widths[-1]))
     classes = _NONTOP_CLASSES + (top_class,)
     top_ci = len(classes) - 1
+
+    def geometry(li):
+        lh = jnp.take(jnp.asarray(heights), li)  # [N]
+        lw = jnp.take(jnp.asarray(widths), li)
+        ys = grid_coords(pool, y1, y2, lh)  # [N, pool], in [0, lh-1]
+        xs = grid_coords(pool, x1, x2, lw)
+        y0i, y1i, wy = corners(ys, lh)
+        x0i, x1i, wx = corners(xs, lw)
+        # grid coords are monotonic
+        return lh, lw, y0i, y1i, wy, x0i, x1i, wx
+
+    def class_fits(lh, lw, y0i, y1i, x0i, x1i):
+        """Per-class 8-aligned y origin / exact x origin (x offsets are
+        lane-dim slices of the [B, H, W*C] view, so any pixel origin is
+        legal) + whether the ROI's sample extent fits the patch."""
+        y_start, y_end = y0i[:, 0], y1i[:, -1]
+        x_start, x_end = x0i[:, 0], x1i[:, -1]
+        origins, fits = [], []
+        for py_k, px_k in classes:
+            y0a_k = jnp.clip((y_start // 8) * 8, 0, lh - py_k)
+            x0a_k = jnp.clip(x_start, 0, lw - px_k)
+            fit_k = (y_end - y0a_k <= py_k - 1) & (
+                x_end - x0a_k <= px_k - 1
+            )
+            origins.append((y0a_k, x0a_k))
+            fits.append(fit_k)
+        return origins, fits
+
+    lh, lw, y0i, y1i, wy, x0i, x1i, wx = geometry(li)
+    origins, fits = class_fits(lh, lw, y0i, y1i, x0i, x1i)
+
+    # Pathological-extent ROIs (near-zero area but huge span — e.g. the
+    # window-edge slivers the parity-exact roi_levels rule sends to the
+    # finest level) fit NO patch class there. They used to be corner-
+    # clamped into BIG — the costliest DMA class AND an approximation.
+    # Sample them from the cached full top level instead: exact sampling
+    # of a coarser level — a better-behaved approximation than clamping,
+    # and nearly free (the top map is cached per image). The XLA gather
+    # path (CPU, goldens, eval, pallas_roi_align="off") remains
+    # reference-exact for every row.
+    any_fit = fits[0]
+    for f_k in fits[1:-1]:
+        any_fit = any_fit | f_k
+    no_fit = ~any_fit & (li < num_levels - 1)
+    li = jnp.where(no_fit, num_levels - 1, li)
     is_top = li == num_levels - 1
+    lh, lw, y0i, y1i, wy, x0i, x1i, wx = geometry(li)
+    origins, fits = class_fits(lh, lw, y0i, y1i, x0i, x1i)
 
-    # per-class 8-aligned y origin / exact x origin (x offsets are lane-dim
-    # slices of the [B, H, W*C] view, so any pixel origin is legal) + fit
-    origins, fits = [], []
-    for py_k, px_k in classes:
-        y0a_k = jnp.clip((y_start // 8) * 8, 0, lh - py_k)
-        x0a_k = jnp.clip(x_start, 0, lw - px_k)
-        fit_k = (y_end - y0a_k <= py_k - 1) & (x_end - x0a_k <= px_k - 1)
-        origins.append((y0a_k, x0a_k))
-        fits.append(fit_k)
-
-    # cheapest fitting class wins; top-level ROIs may only use SMALL or the
+    # cheapest (smallest-area) fitting class wins; top-level ROIs may only
+    # use SMALL (k == 0, the one class every top level fits) or the
     # full-top-level class; non-top fallback is BIG (with corner clamping)
-    big_ci = len(_NONTOP_CLASSES) - 1
+    big_ci = _NONTOP_CLASSES.index(_BIG)
     cls = jnp.where(is_top, top_ci, big_ci)
-    for k in range(len(_NONTOP_CLASSES) - 1, -1, -1):
+    by_cost_desc = sorted(
+        range(len(_NONTOP_CLASSES)),
+        key=lambda k: _NONTOP_CLASSES[k][0] * _NONTOP_CLASSES[k][1],
+        reverse=True,
+    )
+    for k in by_cost_desc:
         allowed = fits[k] & (~is_top | (k == 0))
         cls = jnp.where(allowed, k, cls)
 
@@ -486,4 +541,12 @@ def batched_multilevel_roi_align_pallas(
         geom_arr,
         *feat_views,
     )
-    return out[:n].reshape(b, r, pool, pool, c)
+    out = out[:n].reshape(b, r, pool, pool, c)
+    # exact zero-box value: bilinear at (0, 0) of the finest level (the
+    # roi_levels parity rule) == that level's corner feature, replicated
+    p2_corner = features[0][:, 0, 0, :].astype(out.dtype)  # [B, C]
+    return jnp.where(
+        zero_row.reshape(b, r)[..., None, None, None],
+        p2_corner[:, None, None, None, :],
+        out,
+    )
