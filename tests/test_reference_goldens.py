@@ -482,3 +482,265 @@ def _match_rate(ref, ours, iou_thr, coord_tol=2e-3):
             hits += 1
     n = max((np.abs(ref).sum(1) > 0).sum(), 1)
     return hits / n
+
+
+def _tools(name):
+    import sys
+
+    sys.path.insert(0, TOOLS)
+    import gen_reference_goldens as gen
+
+    return getattr(gen, name)
+
+
+def he_golden_weights(g, seed):
+    """Rebuild He-scaled seeded TF-variable values (deep-net goldens)."""
+    names = [str(n) for n in g["var_names"]]
+    shapes = [
+        tuple(int(d) for d in g[f"var_shape__{i}"]) for i in range(len(names))
+    ]
+    return _tools("he_seeded_weights")(list(zip(names, shapes)), seed=seed)
+
+
+class TestReferenceDetectionTargets:
+    """layers/targets.detection_targets == the reference's executed
+    `BuildDetectionTargets` graph (data_processor.py:430-658).
+
+    The fixture's inputs are engineered so BOTH samplers keep every eligible
+    proposal (16 pos ≤ 66 budget, 24 neg ≤ 32 scaled budget) — outputs are
+    deterministic as sets; only the shuffle order differs. Compared:
+    the IoU matrix + per-proposal max exactly, the positive/negative ROI
+    sets, and the per-ROI (class id, box delta) assignment."""
+
+    def _mine(self, g):
+        from objectdetection_tpu.config import COCO_CONFIG
+        from objectdetection_tpu.layers.targets import detection_targets
+
+        cfg = COCO_CONFIG.replace(
+            train_rois_per_image=int(g["train_rois_per_image"]),
+            bbox_stddev=tuple(float(v) for v in g["bbox_stddev"]),
+        )
+        return detection_targets(
+            jnp.asarray(g["proposals"]),
+            jnp.asarray(g["gt_boxes"]),
+            jnp.asarray(g["gt_class_ids"]),
+            cfg,
+            jax.random.PRNGKey(7),
+        )
+
+    def test_iou_matrix_matches(self):
+        g = load("reference_detection_targets.npz")
+        from objectdetection_tpu.geometry import iou_matrix
+
+        n_prop, n_gt = g["iou"].shape
+        mine = np.asarray(
+            iou_matrix(
+                jnp.asarray(g["proposals"][:n_prop]),
+                jnp.asarray(g["gt_boxes"][:n_gt]),
+            )
+        )
+        np.testing.assert_allclose(mine, g["iou"], atol=1e-6)
+        np.testing.assert_allclose(
+            mine.max(axis=1), g["roi_iou_max"], atol=1e-6
+        )
+
+    def test_sampled_sets_and_assignments_match(self):
+        g = load("reference_detection_targets.npz")
+        out = self._mine(g)
+
+        ref_pos_n = int(g["pos_count"])
+        assert int(np.asarray(out.pos_mask).sum()) == ref_pos_n
+
+        # reference packs positives first, then negatives, then zero pad
+        ref_rois = g["rois"]
+        ref_cls = g["roi_gt_class_ids"][0]
+        ref_deltas = g["roi_gt_box_deltas"]
+        ref_valid_n = int((np.abs(ref_rois).sum(1) > 0).sum())
+
+        def key(row):
+            return tuple(np.round(row.astype(np.float64), 6))
+
+        ref_pos = {
+            key(ref_rois[i]): (int(ref_cls[i]), ref_deltas[i])
+            for i in range(ref_pos_n)
+        }
+        ref_neg = {key(ref_rois[i]) for i in range(ref_pos_n, ref_valid_n)}
+
+        rois = np.asarray(out.rois)
+        pos_mask = np.asarray(out.pos_mask)
+        valid = np.asarray(out.valid_mask)
+        my_pos = {
+            key(rois[i]): (
+                int(out.target_class_ids[i]),
+                np.asarray(out.target_deltas[i]),
+            )
+            for i in range(len(rois))
+            if pos_mask[i]
+        }
+        my_neg = {key(rois[i]) for i in range(len(rois)) if valid[i] and not pos_mask[i]}
+
+        assert set(ref_pos) == set(my_pos)
+        assert ref_neg == my_neg
+        for k, (ref_c, ref_d) in ref_pos.items():
+            my_c, my_d = my_pos[k]
+            assert my_c == ref_c, (k, my_c, ref_c)
+            np.testing.assert_allclose(my_d, ref_d, atol=2e-5)
+
+
+class TestReferenceLosses:
+    """losses.py == the reference's executed loss graphs
+    (loss_optimize.py:6-201), including the binary-CE mrcnn_box bug via
+    `compat_reference=True`. Inputs regenerate from the generator's seeds."""
+
+    def test_losses_match(self):
+        g = load("reference_losses.npz")
+        from objectdetection_tpu import losses
+
+        x = _tools("make_loss_inputs")()
+        rpn_cls = losses.rpn_class_loss(
+            jnp.asarray(x["target_class"]), jnp.asarray(x["rpn_logits"])
+        )
+        np.testing.assert_allclose(
+            float(rpn_cls), float(g["rpn_class_loss"]), rtol=1e-5
+        )
+
+        rpn_box = losses.rpn_box_loss(
+            jnp.asarray(x["rpn_target_bbox"]),
+            jnp.asarray(x["rpn_pred_box"]),
+            jnp.asarray(x["target_class"]),
+        )
+        np.testing.assert_allclose(
+            float(rpn_box), float(g["rpn_box_loss"]), rtol=1e-5
+        )
+
+        mr_cls = losses.mrcnn_class_loss(
+            jnp.asarray(x["mrcnn_target_class"]),
+            jnp.asarray(x["mrcnn_logits"]),
+            jnp.asarray(x["active"]),
+        )
+        np.testing.assert_allclose(
+            float(mr_cls), float(g["mrcnn_class_loss"]), rtol=1e-5
+        )
+
+        mr_box = losses.mrcnn_box_loss(
+            jnp.asarray(x["mrcnn_target_box"]),
+            jnp.asarray(x["mrcnn_pred_box"]),
+            jnp.asarray(x["mrcnn_target_class"]),
+            compat_reference=True,
+        )
+        np.testing.assert_allclose(
+            float(mr_box), float(g["mrcnn_box_loss"]), rtol=1e-5
+        )
+
+
+class TestReferenceMaskHead:
+    """models/heads.MaskHead == the reference mask-head spec
+    (masking.py:34-68) built and EXECUTED in raw TF1 by the generator
+    (4× conv3×3(256)+BN+relu → deconv2×2 s2 relu → 1×1 sigmoid)."""
+
+    def test_mask_head_matches(self):
+        g = load("reference_mask_head.npz")
+        from objectdetection_tpu.models.heads import MaskHead
+
+        w = he_golden_weights(g, seed=8080)
+        pooled = _tools("make_mask_head_inputs")()
+        nc = int(g["masks"].shape[-1])
+
+        params, stats = {}, {}
+        for i in range(1, 5):
+            params[f"mrcnn_mask_conv{i}"] = {
+                "kernel": jnp.asarray(w[f"mrcnn_mask_conv{i}/kernel:0"]),
+                "bias": jnp.asarray(w[f"mrcnn_mask_conv{i}/bias:0"]),
+            }
+            params[f"mrcnn_mask_bn{i}"] = {
+                "scale": jnp.asarray(w[f"mrcnn_mask_bn{i}/gamma:0"]),
+                "bias": jnp.asarray(w[f"mrcnn_mask_bn{i}/beta:0"]),
+            }
+            stats[f"mrcnn_mask_bn{i}"] = {
+                "mean": jnp.asarray(w[f"mrcnn_mask_bn{i}/moving_mean:0"]),
+                "var": jnp.asarray(w[f"mrcnn_mask_bn{i}/moving_variance:0"]),
+            }
+        # TF conv2d_transpose filter is [kh, kw, out, in] with
+        # gradient-of-conv semantics (spatially flipped); flax ConvTranspose
+        # wants an unflipped [kh, kw, in, out] kernel.
+        wd = w["mrcnn_mask_deconv/kernel:0"]
+        params["mrcnn_mask_deconv"] = {
+            "kernel": jnp.asarray(
+                np.transpose(np.flip(wd, axis=(0, 1)), (0, 1, 3, 2))
+            ),
+            "bias": jnp.asarray(w["mrcnn_mask_deconv/bias:0"]),
+        }
+        params["mrcnn_mask"] = {
+            "kernel": jnp.asarray(w["mrcnn_mask/kernel:0"]),
+            "bias": jnp.asarray(w["mrcnn_mask/bias:0"]),
+        }
+
+        head = MaskHead(num_classes=nc)
+        masks = head.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(pooled)[None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(masks)[0], g["masks"], atol=2e-5
+        )
+
+
+class TestReferenceVGG16:
+    """models/vgg16.VGG16 == the reference FasterRCNN VGG feature extractor
+    (vgg.py:10-96), executed with He-seeded assigned weights."""
+
+    def test_feature_map_matches(self):
+        g = load("reference_vgg16.npz")
+        from objectdetection_tpu.models.vgg16 import VGG16
+
+        w = he_golden_weights(g, seed=1618)
+        img = _tools("make_vgg_input")()
+        params = {}
+        for name in {str(n).split("/")[0] for n in g["var_names"]}:
+            params[name] = {
+                "kernel": jnp.asarray(w[f"{name}/{name}_W:0"]),
+                "bias": jnp.asarray(w[f"{name}/{name}_b:0"]),
+            }
+        feat = VGG16().apply({"params": params}, jnp.asarray(img))
+        np.testing.assert_allclose(
+            np.asarray(feat), g["feature_map"], atol=5e-4, rtol=1e-4
+        )
+
+
+class TestReferenceFasterRCNNRPN:
+    """models/faster_rcnn.FasterRCNNRPN == the reference FasterRCNN RPN
+    (FasterRCNN/building_blocks/rpn.py:9-97), executed with seeded weights.
+    The reference convs have NO bias (raw tf.nn.conv2d) — biases zeroed."""
+
+    def test_rpn_outputs_match(self):
+        g = load("reference_frcnn_rpn.npz")
+        from objectdetection_tpu.models.faster_rcnn import FasterRCNNRPN
+
+        w = golden_weights(g, seed=2222)
+        fmap = _tools("make_frcnn_rpn_input")()
+        params = {
+            "rpn_conv": {
+                "kernel": jnp.asarray(w["rpn_conv_w:0"]),
+                "bias": jnp.zeros((512,)),
+            },
+            "rpn_class": {
+                "kernel": jnp.asarray(w["rpn_cls_w:0"]),
+                "bias": jnp.zeros((18,)),
+            },
+            "rpn_bbox": {
+                "kernel": jnp.asarray(w["rpn_reg_w:0"]),
+                "bias": jnp.zeros((36,)),
+            },
+        }
+        logits, fg, deltas = FasterRCNNRPN().apply(
+            {"params": params}, jnp.asarray(fmap)
+        )
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        b, h, w_, k2 = g["probs"].shape
+        ref_probs = g["probs"].reshape(b, h, w_, k2 // 2, 2)
+        np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
+        ref_deltas = g["bbox"].reshape(b, h, w_, 9, 4)
+        np.testing.assert_allclose(np.asarray(deltas), ref_deltas, atol=1e-5)
+        # fg prob = per-anchor second softmax column
+        np.testing.assert_allclose(
+            np.asarray(fg), ref_probs[..., 1], atol=1e-5
+        )

@@ -230,6 +230,36 @@ def seeded_weights(names_shapes, seed=1234, scale=0.02):
     }
 
 
+def he_seeded_weights(names_shapes, seed):
+    """Deterministic fan-in-scaled weights for deep seeded-weight goldens.
+
+    Plain `seeded_weights` (stddev 0.02) decays the signal to a near-constant
+    through 10+ conv layers, which would make the golden vacuous. Kernels get
+    He scaling sqrt(2/fan_in); BN gamma ≈ 1, beta/means small, variances
+    positive. Values regenerate from the sorted (name, shape) list — shared
+    with tests/test_reference_goldens.py."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = {}
+    for name, shape in names_shapes:
+        w = rng.standard_normal(shape).astype("float32")
+        if "moving_variance" in name:
+            w = np.abs(w * 0.2) + 0.5
+        elif "gamma" in name:
+            w = 1.0 + 0.1 * w
+        elif len(shape) == 4:
+            if "deconv" in name:  # TF transpose-conv layout [kh,kw,out,in]
+                fan_in = shape[0] * shape[1] * shape[3]
+            else:  # HWIO
+                fan_in = shape[0] * shape[1] * shape[2]
+            w = w * np.sqrt(2.0 / fan_in)
+        else:  # biases, beta, moving_mean, FC
+            w = w * 0.05
+        out[name] = w.astype("float32")
+    return out
+
+
 def gen_mrcnn_head(tf1):
     """Reference ROI pooling + raw-TF box/class head (maskrcnn.py:74-239)
     with seeded ASSIGNED weights: pyramid P2-P5 + proposals in, pooled ROIs
@@ -607,14 +637,408 @@ def gen_end_to_end(tf1):
     )
 
 
+def make_detection_target_inputs():
+    """Seeded per-image inputs for the detection-target golden.
+
+    Designed so the reference's `tf.random_shuffle` subsampling is a no-op
+    set-wise: #positives (16) ≤ int(200·0.33)=66 and #negatives (24) ≤
+    int((1/0.33)·16)−16 = 32, so BOTH implementations keep every eligible
+    proposal and outputs are deterministic as sets (row order differs).
+    Zero padding is a strict suffix — required because the reference gathers
+    `pos_rois` from the PADDED proposals with indices computed on the
+    masked ones (data_processor.py:585-598), which only agree when the
+    non-zero rows are a prefix.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(4242)
+    g_valid, g_pad = 5, 3
+    cy = rng.rand(g_valid) * 0.5 + 0.25
+    cx = rng.rand(g_valid) * 0.5 + 0.25
+    hh = rng.rand(g_valid) * 0.08 + 0.08
+    hw = rng.rand(g_valid) * 0.08 + 0.08
+    gt = np.stack([cy - hh, cx - hw, cy + hh, cx + hw], axis=1)
+    gt_boxes = np.concatenate([gt, np.zeros((g_pad, 4))]).astype("float32")
+    gt_class_ids = np.concatenate(
+        [rng.randint(1, 4, g_valid), np.zeros(g_pad)]
+    ).astype("int32")
+
+    def np_iou(a, b):
+        y1 = np.maximum(a[:, None, 0], b[None, :, 0])
+        x1 = np.maximum(a[:, None, 1], b[None, :, 1])
+        y2 = np.minimum(a[:, None, 2], b[None, :, 2])
+        x2 = np.minimum(a[:, None, 3], b[None, :, 3])
+        inter = np.maximum(y2 - y1, 0) * np.maximum(x2 - x1, 0)
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+    pos, neg = [], []
+    while len(pos) < 16 or len(neg) < 24:
+        k = rng.randint(0, g_valid)
+        jitter = (rng.rand(4) - 0.5) * 0.12
+        cand = np.clip(gt[k] + jitter, 0.0, 1.0)
+        if cand[2] - cand[0] < 0.02 or cand[3] - cand[1] < 0.02:
+            continue
+        m = np_iou(cand[None], gt).max()
+        if m >= 0.55 and len(pos) < 16:  # margin vs the 0.5 threshold
+            pos.append(cand)
+        elif 0.05 < m < 0.45 and len(neg) < 24:
+            neg.append(cand)
+    proposals = np.concatenate(
+        [np.asarray(pos), np.asarray(neg), np.zeros((8, 4))]
+    ).astype("float32")
+    return proposals, gt_boxes, gt_class_ids
+
+
+def gen_detection_targets(tf1):
+    """Reference training-target layer `BuildDetectionTargets`
+    (data_processor.py:430-658) executed per-image with DEBUG=True.
+
+    Records the deterministic intermediates (IoU matrix, per-proposal max)
+    plus the sampled outputs (deterministic as sets — see
+    make_detection_target_inputs)."""
+    import numpy as np
+    from MaskRCNN.config import config as conf
+    from MaskRCNN.building_blocks.data_processor import BuildDetectionTargets
+
+    proposals, gt_boxes, gt_class_ids = make_detection_target_inputs()
+
+    tf1.reset_default_graph()
+    tf1.set_random_seed(1357)
+    p_in = tf1.placeholder(tf1.float32, proposals.shape)
+    c_in = tf1.placeholder(tf1.int32, gt_class_ids.shape)
+    g_in = tf1.placeholder(tf1.float32, gt_boxes.shape)
+    obj = BuildDetectionTargets(conf, p_in, c_in, g_in, DEBUG=True)
+    rois_t, cls_t, deltas_t = obj.get_target_rois()
+    dbg = obj.debug_outputs()
+    feed = {p_in: proposals, c_in: gt_class_ids, g_in: gt_boxes}
+    with tf1.Session() as sess:
+        rois, cls, deltas, iou, iou_max, pos_cnt = sess.run(
+            [rois_t, cls_t, deltas_t, dbg["iou"], dbg["roi_iou_max"],
+             dbg["pos_count"]],
+            feed_dict=feed,
+        )
+    print("detection targets rois", rois.shape, "cls", cls.shape,
+          "deltas", deltas.shape, "iou", iou.shape, "pos", pos_cnt)
+    np.savez(
+        os.path.join(GOLDEN_DIR, "reference_detection_targets.npz"),
+        proposals=proposals,
+        gt_boxes=gt_boxes,
+        gt_class_ids=gt_class_ids,
+        rois=rois,
+        roi_gt_class_ids=cls,
+        roi_gt_box_deltas=deltas,
+        iou=iou,
+        roi_iou_max=iou_max,
+        pos_count=np.int32(pos_cnt),
+        train_rois_per_image=np.int32(conf.MRCNN_TRAIN_ROIS_PER_IMAGE),
+        bbox_stddev=np.asarray(conf.BBOX_STD_DEV, "float32"),
+    )
+
+
+def _patch_keras_backend(tf1):
+    """loss_optimize.py imports `keras.backend as K` and uses the Keras-2
+    TF-backend primitives (sparse_categorical_crossentropy / switch / mean /
+    binary_crossentropy) that Keras 3 removed. Shim them with the documented
+    Keras-2 semantics (keras/backend/tensorflow_backend.py of that era) so
+    the reference's OWN loss graphs (gather rules, per-batch loops,
+    reductions) execute unchanged."""
+    import keras.backend as KB
+
+    def sparse_categorical_crossentropy(target, output, from_logits=False,
+                                        axis=-1):
+        assert from_logits and axis == -1
+        return tf1.nn.sparse_softmax_cross_entropy_with_logits(
+            labels=tf1.cast(target, tf1.int64), logits=output
+        )
+
+    def switch(condition, then_expression, else_expression):
+        return tf1.cond(
+            condition, lambda: then_expression, lambda: else_expression
+        )
+
+    def binary_crossentropy(target, output, from_logits=False):
+        assert not from_logits
+        eps = 1e-7  # K.epsilon()
+        output = tf1.clip_by_value(output, eps, 1.0 - eps)
+        return -(
+            target * tf1.log(output) + (1.0 - target) * tf1.log(1.0 - output)
+        )
+
+    KB.sparse_categorical_crossentropy = sparse_categorical_crossentropy
+    KB.switch = switch
+    KB.mean = tf1.reduce_mean
+    KB.binary_crossentropy = binary_crossentropy
+
+
+def make_loss_inputs():
+    """Seeded inputs for the four reference losses (shared with the test).
+
+    Every batch row of `active_class_ids` is identical because the reference
+    uses only row 0 (loss_optimize.py:118 `batch_active_class_ids[0]`) while
+    the rebuild uses per-image rows — identical rows make the comparison
+    well-defined while still exercising the active-class masking (class 3
+    inactive)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9001)
+    b, a, nc, t, kmax = 2, 96, 4, 12, 32
+    target_class = rng.choice(
+        [-1, 0, 1], size=(b, a), p=[0.3, 0.5, 0.2]
+    ).astype("int32")
+    rpn_logits = rng.standard_normal((b, a, 2)).astype("float32")
+    rpn_pred_box = (rng.standard_normal((b, a, 4)) * 0.5).astype("float32")
+    rpn_target_bbox = np.zeros((b, kmax, 4), "float32")
+    for i in range(b):
+        n = int((target_class[i] == 1).sum())
+        assert n <= kmax
+        rpn_target_bbox[i, :n] = rng.standard_normal((n, 4)) * 0.4
+
+    mrcnn_target_class = rng.randint(0, nc, size=(b, t)).astype("int32")
+    mrcnn_logits = rng.standard_normal((b, t, nc)).astype("float32")
+    active = np.tile(np.array([[1, 1, 1, 0]], "int32"), (b, 1))
+    mrcnn_pred_box = (rng.rand(b, t, nc, 4) * 2 - 0.5).astype("float32")
+    mrcnn_target_box = rng.rand(b, t, 4).astype("float32")
+    return dict(
+        target_class=target_class,
+        rpn_logits=rpn_logits,
+        rpn_pred_box=rpn_pred_box,
+        rpn_target_bbox=rpn_target_bbox,
+        mrcnn_target_class=mrcnn_target_class,
+        mrcnn_logits=mrcnn_logits,
+        active=active,
+        mrcnn_pred_box=mrcnn_pred_box,
+        mrcnn_target_box=mrcnn_target_box,
+    )
+
+
+def gen_losses(tf1):
+    """Execute the reference's four loss graphs (loss_optimize.py:6-201) on
+    seeded inputs and record the scalar values — including the binary-CE
+    mrcnn_box_loss bug that `losses.mrcnn_box_loss(compat_reference=True)`
+    must reproduce."""
+    import numpy as np
+
+    _patch_keras_backend(tf1)
+    from MaskRCNN.building_blocks.loss_optimize import Loss
+
+    x = make_loss_inputs()
+    b = x["target_class"].shape[0]
+
+    tf1.reset_default_graph()
+    tc3 = tf1.constant(x["target_class"][..., None])  # [B, A, 1]
+    rpn_cls = Loss.rpn_class_loss(tc3, tf1.constant(x["rpn_logits"]))
+    _, rpn_box = Loss.rpn_box_loss(
+        tf1.constant(x["rpn_target_bbox"]), tf1.constant(x["rpn_pred_box"]),
+        tc3, batch_size=b,
+    )
+    _, mr_cls = Loss.mrcnn_class_loss(
+        tf1.constant(x["mrcnn_target_class"]),
+        tf1.constant(x["mrcnn_logits"]),
+        tf1.constant(x["active"]),
+    )
+    mr_box = Loss.mrcnn_box_loss(
+        tf1.constant(x["mrcnn_target_box"]),
+        tf1.constant(x["mrcnn_pred_box"]),
+        tf1.constant(x["mrcnn_target_class"]),
+        batch_size=b,
+    )
+    with tf1.Session() as sess:
+        vals = sess.run([rpn_cls, rpn_box, mr_cls, mr_box])
+    print("losses rpn_class %.6f rpn_box %.6f mrcnn_class %.6f "
+          "mrcnn_box %.6f" % tuple(vals))
+    np.savez(
+        os.path.join(GOLDEN_DIR, "reference_losses.npz"),
+        rpn_class_loss=np.float32(vals[0]),
+        rpn_box_loss=np.float32(vals[1]),
+        mrcnn_class_loss=np.float32(vals[2]),
+        mrcnn_box_loss=np.float32(vals[3]),
+    )
+
+
+def make_mask_head_inputs():
+    """Seeded pooled-ROI input for the mask-head golden (shared w/ test)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1203)
+    return (rng.rand(6, 14, 14, 32).astype("float32") * 2 - 1)
+
+
+MASK_HEAD_CLASSES = 4
+
+
+def gen_mask_head(tf1):
+    """Build the reference's commented mask-head spec (masking.py:34-68) in
+    raw TF1 — 4× [conv3×3(256) + BN(inference) + relu] → deconv2×2 stride 2
+    relu → 1×1 conv sigmoid — with seeded assigned weights, the same way
+    gen_end_to_end shimmed the Keras-3 gaps (BN = tf.nn.batch_normalization
+    at epsilon 1e-3, matching the flax FrozenBatchNorm)."""
+    import numpy as np
+
+    pooled = make_mask_head_inputs()
+    n, ph, pw, cin = pooled.shape
+    nc = MASK_HEAD_CLASSES
+
+    tf1.reset_default_graph()
+    x_in = tf1.placeholder(tf1.float32, pooled.shape)
+    x = x_in
+    c = cin
+    for i in range(1, 5):
+        with tf1.variable_scope(f"mrcnn_mask_conv{i}"):
+            w = tf1.get_variable("kernel", [3, 3, c, 256])
+            bb = tf1.get_variable("bias", [256])
+        x = tf1.nn.bias_add(
+            tf1.nn.conv2d(x, w, [1, 1, 1, 1], padding="SAME"), bb
+        )
+        with tf1.variable_scope(f"mrcnn_mask_bn{i}"):
+            gamma = tf1.get_variable("gamma", [256])
+            beta = tf1.get_variable("beta", [256])
+            mean = tf1.get_variable("moving_mean", [256])
+            var = tf1.get_variable("moving_variance", [256])
+        x = tf1.nn.relu(
+            tf1.nn.batch_normalization(x, mean, var, beta, gamma, 1e-3)
+        )
+        c = 256
+    with tf1.variable_scope("mrcnn_mask_deconv"):
+        wd = tf1.get_variable("kernel", [2, 2, 256, 256])  # [kh,kw,out,in]
+        bd = tf1.get_variable("bias", [256])
+    x = tf1.nn.conv2d_transpose(
+        x, wd, output_shape=[n, 2 * ph, 2 * pw, 256],
+        strides=[1, 2, 2, 1], padding="VALID",
+    )
+    x = tf1.nn.relu(tf1.nn.bias_add(x, bd))
+    with tf1.variable_scope("mrcnn_mask"):
+        wf = tf1.get_variable("kernel", [1, 1, 256, nc])
+        bf = tf1.get_variable("bias", [nc])
+    masks = tf1.nn.sigmoid(
+        tf1.nn.bias_add(tf1.nn.conv2d(x, wf, [1, 1, 1, 1], "SAME"), bf)
+    )
+
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    names_shapes = [(v.name, v.shape.as_list()) for v in tvars]
+    wvals = he_seeded_weights(names_shapes, seed=8080)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        out_masks = sess.run(masks, feed_dict={x_in: pooled})
+    print("mask head out", out_masks.shape,
+          "range", out_masks.min(), out_masks.max())
+    out = {
+        "masks": out_masks,
+        "var_names": np.array([nm for nm, _ in names_shapes]),
+    }
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"var_shape__{i}"] = np.asarray(shape, np.int64)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "reference_mask_head.npz"), **out
+    )
+
+
+def make_vgg_input():
+    """Seeded image batch for the FasterRCNN VGG16 golden (shared w/ test)."""
+    import numpy as np
+
+    rng = np.random.RandomState(2718)
+    return rng.rand(1, 64, 64, 3).astype("float32") * 2 - 1
+
+
+def gen_vgg16(tf1):
+    """Execute the reference FasterRCNN VGG16 feature extractor
+    (FasterRCNN/building_blocks/vgg.py:10-96) in train mode with seeded
+    assigned weights on a 64² input; records the conv5_3 feature map."""
+    import numpy as np
+    from FasterRCNN.building_blocks.vgg import vgg16
+
+    img = make_vgg_input()
+    tf1.reset_default_graph()
+    obj = vgg16(mode="train")
+    x_in, fmap = obj.get_feature_map([64, 64, 3])
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    names_shapes = [(v.name, v.shape.as_list()) for v in tvars]
+    wvals = he_seeded_weights(names_shapes, seed=1618)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        feat = sess.run(fmap, feed_dict={x_in: img})
+    print("vgg16 feature", feat.shape, "vars", len(names_shapes))
+    out = {
+        "feature_map": feat,
+        "var_names": np.array([nm for nm, _ in names_shapes]),
+    }
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"var_shape__{i}"] = np.asarray(shape, np.int64)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "reference_vgg16.npz"), **out
+    )
+
+
+def make_frcnn_rpn_input():
+    """Seeded feature map for the FasterRCNN RPN golden (shared w/ test)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3141)
+    return rng.rand(1, 8, 8, 512).astype("float32") * 2 - 1
+
+
+def gen_frcnn_rpn(tf1):
+    """Execute the reference FasterRCNN RPN head
+    (FasterRCNN/building_blocks/rpn.py:9-97, train mode) with seeded
+    assigned weights; records class probs [1,8,8,18] and deltas [1,8,8,36].
+    """
+    import numpy as np
+    from FasterRCNN.building_blocks.rpn import rpn
+
+    fmap = make_frcnn_rpn_input()
+    tf1.reset_default_graph()
+    f_in = tf1.placeholder(tf1.float32, fmap.shape)
+    obj = rpn(mode="train", feature_map=f_in)
+    tvars = sorted(tf1.global_variables(), key=lambda v: v.name)
+    names_shapes = [(v.name, v.shape.as_list()) for v in tvars]
+    wvals = seeded_weights(names_shapes, seed=2222)
+    with tf1.Session() as sess:
+        sess.run([tf1.assign(v, wvals[v.name]) for v in tvars])
+        probs, bbox = sess.run(
+            [obj.get_rpn_box_class_prob(), obj.get_rpn_bbox()],
+            feed_dict={f_in: fmap},
+        )
+    print("frcnn rpn probs", probs.shape, "bbox", bbox.shape,
+          "vars", [nm for nm, _ in names_shapes])
+    out = {
+        "probs": probs,
+        "bbox": bbox,
+        "var_names": np.array([nm for nm, _ in names_shapes]),
+    }
+    for i, (_, shape) in enumerate(names_shapes):
+        out[f"var_shape__{i}"] = np.asarray(shape, np.int64)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "reference_frcnn_rpn.npz"), **out
+    )
+
+
+GENERATORS = [
+    "proposals", "detection", "crop_resize", "mrcnn_head", "rpn",
+    "end_to_end", "detection_targets", "losses", "mask_head", "vgg16",
+    "frcnn_rpn",
+]
+
+
 def main():
+    which = sys.argv[1:] or GENERATORS
     tf1 = setup_reference_imports()
-    gen_proposals(tf1)
-    gen_detection(tf1)
-    gen_crop_resize(tf1)
-    gen_mrcnn_head(tf1)
-    gen_rpn(tf1)
-    gen_end_to_end(tf1)
+    fns = {
+        "proposals": gen_proposals,
+        "detection": gen_detection,
+        "crop_resize": gen_crop_resize,
+        "mrcnn_head": gen_mrcnn_head,
+        "rpn": gen_rpn,
+        "end_to_end": gen_end_to_end,
+        "detection_targets": gen_detection_targets,
+        "losses": gen_losses,
+        "mask_head": gen_mask_head,
+        "vgg16": gen_vgg16,
+        "frcnn_rpn": gen_frcnn_rpn,
+    }
+    for name in which:
+        fns[name](tf1)
     print("goldens written to", GOLDEN_DIR)
 
 
