@@ -179,8 +179,11 @@ def zf_proposal_layer(
         masked_scores = jnp.where(keep, scores_flat, -jnp.inf)
         top_scores, ix = jax.lax.top_k(masked_scores, pre_nms)
         top_boxes = jnp.take(boxes, ix, axis=0)
+        # the reference NMS measures +1 pixel areas (proposals.py:151-162:
+        # area = (x2-x1+1)*(y2-y1+1)); shifting max corners by +1 maps that
+        # onto the continuous-coordinate IoU kernel exactly
         res = non_max_suppression(
-            top_boxes,
+            top_boxes + jnp.array([0.0, 0.0, 1.0, 1.0], top_boxes.dtype),
             top_scores,
             post_nms,
             config.nms_threshold,
