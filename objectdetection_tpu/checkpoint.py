@@ -18,6 +18,7 @@ Matterport h5 layout handled (load_params.py:105-135):
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -50,7 +51,7 @@ def load_checkpoint(path: str, like: Any) -> Any:
     return ckptr.restore(path, like)
 
 
-def save_quantized(path: str, variables: Any) -> None:
+def save_quantized(path: str, variables: Any, config: Any = None) -> None:
     """Persist a calibrated+frozen int8 serving artifact.
 
     `variables` should be the output of ``quant.freeze_weights(
@@ -68,6 +69,31 @@ def save_quantized(path: str, variables: Any) -> None:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, variables)
     ckptr.wait_until_finished()
+    if config is not None:
+        # the quantization gates change the variable-tree layout (QuantConv
+        # vs nn.Conv; scalar vs [C] scales) — persist them so loaders can
+        # restore a matching config instead of failing with an opaque
+        # tree-mismatch error
+        meta = {
+            "per_channel_acts": bool(config.per_channel_acts),
+            "quantize_rpn": bool(config.quantize_rpn),
+            "quantize_box_head": bool(config.quantize_box_head),
+            "quantize_mask_head": bool(config.quantize_mask_head),
+            "backbone": config.backbone,
+            "image_shape": list(config.image_shape),
+        }
+        with open(os.path.join(path, "quant_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
+
+def load_quant_meta(path: str):
+    """Gate settings persisted next to a quantized artifact (or None for
+    artifacts saved before quant_meta existed)."""
+    p = os.path.join(os.path.abspath(path), "quant_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def load_quantized(path: str) -> Any:

@@ -428,10 +428,10 @@ def cmd_quantize(args):
     variables = quant.calibrate_variables(
         variables, images, cfg,
         batch_size=args.batch_size or None,
-        percentile=args.percentile,
+        percentile=None if (args.percentile or 0) < 0 else args.percentile,
     )
     variables = quant.freeze_weights(variables)
-    checkpoint.save_quantized(args.out, variables)
+    checkpoint.save_quantized(args.out, variables, cfg)
     print(f"int8 artifact saved to {args.out}")
 
 
@@ -541,17 +541,20 @@ def main(argv=None):
     q.add_argument("--config", choices=["shapes", "coco"], default="shapes")
     q.add_argument("--ckpt", default="", help="orbax train checkpoint dir")
     q.add_argument("--weights", default="", help="matterport h5")
-    q.add_argument("--calib-images", type=int, default=16)
+    q.add_argument("--calib-images", type=int, default=64)
     q.add_argument("--batch-size", type=int, default=4)
-    q.add_argument("--percentile", type=float, default=None,
-                   help="robust per-chunk-absmax percentile (e.g. 90; the "
-                   "measured-best shapes recipe is --per-channel "
-                   "--percentile 90 with 16 chunks)")
-    q.add_argument("--per-channel", action="store_true",
+    q.add_argument("--percentile", type=float, default=90.0,
+                   help="robust per-chunk-absmax percentile (DEFAULT 90, "
+                   "the measured-best recipe with 16 chunks of 4; pass -1 "
+                   "for plain running-absmax)")
+    q.add_argument("--per-channel", dest="per_channel",
+                   action="store_true", default=True,
                    help="per-input-channel activation scales folded into "
-                   "frozen kernels (cfg.per_channel_acts): int8 accuracy "
-                   "cost drops to -0.3/-1.4 box/mask mAP@0.5 vs -4.4/-5.3 "
-                   "per-tensor (serve auto-detects the artifact layout)")
+                   "frozen kernels (cfg.per_channel_acts, DEFAULT): int8 "
+                   "accuracy cost drops to -0.3/-1.4 box/mask mAP@0.5 vs "
+                   "-4.4/-5.3 per-tensor (serve auto-detects the layout)")
+    q.add_argument("--no-per-channel", dest="per_channel",
+                   action="store_false")
     q.add_argument("--seed", type=int, default=0)
     q.add_argument("--post-nms", type=int, default=0,
                    help="match the post-nms budget of the train run")

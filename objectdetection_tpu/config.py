@@ -95,7 +95,9 @@ class DetectorConfig:
     # and the post-NMS proposal match rate are all 1.0000 on both uniform
     # and trained-RPN-like score distributions, and the headline bench is
     # +2.4 img/s — accuracy-neutral speed, so ON by default. Set False for
-    # bit-exact lax.top_k selection (reference-parity tests do).
+    # bit-exact lax.top_k selection (reference-parity tests do). Applies to
+    # INFERENCE only — the training path always uses exact top_k because
+    # the accuracy evidence was measured on the inference workload.
     use_approx_topk: bool = True
     # approx_max_k's recall_target drives how many reduction stages it
     # builds; the cost cliff is steep on v5e (b96, 262k->6000: 17.3 ms at
@@ -141,6 +143,13 @@ class DetectorConfig:
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False
+    # Append the GT boxes to the RPN proposals before detection-target
+    # sampling (training only). Guarantees positive ROIs from step 0 — at
+    # random init no proposal reaches the 0.5 IoU threshold, so the box/mask
+    # heads would otherwise see zero gradient until the RPN warms up. The
+    # standard Detectron-style trick; the reference has no equivalent (its
+    # training never reached an optimizer, SURVEY.md §0).
+    train_append_gt: bool = False
 
     @property
     def num_anchors_per_location(self) -> int:

@@ -188,6 +188,13 @@ def compute_losses(
     proposals = jax.lax.stop_gradient(
         proposal_layer(rpn_probs, rpn_deltas, anchors_norm, config, training=True)
     )
+    if getattr(config, "train_append_gt", False):
+        # [B, P+G, 4]: zero-padded GT rows stay invalid inside
+        # detection_targets (prop_valid tests |box| > 0)
+        gt_rows = jnp.where(
+            (batch.gt_class_ids > 0)[:, :, None], batch.gt_boxes, 0.0
+        )
+        proposals = jnp.concatenate([proposals, gt_rows], axis=1)
     det_keys = jax.random.split(rng_det, b)
     if with_masks and batch.gt_masks is not None:
         # gt_masks may be full-frame [B,G,H,W] or mini-masks in per-instance

@@ -48,7 +48,12 @@ def proposal_layer(
     scores = rpn_probs[..., 1]  # [B, A] foreground
     deltas = rpn_deltas * stddev  # proposals_tf.py:157
 
-    use_approx = getattr(config, "use_approx_topk", False)
+    # Approximate selection only on the inference path: its accuracy
+    # evidence (recall/post-NMS match/trained mAP in
+    # benchmarks/approx_topk_recall.py) was measured on the 1024² inference
+    # workload; training keeps bit-exact lax.top_k so train-time proposal
+    # selection never silently diverges from the evaluated recipe.
+    use_approx = getattr(config, "use_approx_topk", False) and not training
     b, a = scores.shape
 
     if use_approx:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -126,3 +127,25 @@ class MetricLogger:
 
     def latest(self) -> Dict[str, Any]:
         return self.history[-1] if self.history else {}
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
+    """Persist XLA compilations across processes (bench/serve cold starts).
+
+    On the TPU relay a cold COCO-scale compile costs ~5 min (BENCH_r02 tail:
+    316.7 s); with the cache a second process deserializes the executable
+    instead of recompiling. Default directory: <repo>/artifacts/xla_cache.
+    Call before the first jit execution.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts",
+            "xla_cache",
+        )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir

@@ -251,32 +251,21 @@ def _kernel(
                 out_ref[j, :, :] = out.astype(out_ref.dtype)
 
 
-def batched_multilevel_roi_align_pallas(
-    features: Sequence[Array],
-    boxes: Array,
-    image_shape: Tuple[int, int],
-    crop_size: Tuple[int, int],
-    min_level: int = 2,
-    interpret: bool = False,
-    k_rois: int | None = None,
-) -> Array:
-    """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
+def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
+    """Level assignment, zero-row shortcut, the no_fit coarse-level reroute,
+    patch-class selection, and the kernel meta/geometry arrays.
 
-    features: per-level [B, H_l, W_l, C]; boxes [B, R, 4] normalized AND
-    clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
-    `k_rois` overrides the ROIs-per-grid-step batching factor (default
-    K_ROIS; higher amortizes per-step fixed costs at more VMEM scratch).
+    Pure shape math (no pallas_call) so the routing decisions — in
+    particular WHICH rows get `no_fit=True` and sample from the cached top
+    level — are pinned by a CPU unit test
+    (tests/test_roi_align_pallas.py::TestNoFitReroute).
+
+    Returns a dict with the kernel inputs (meta/xint/wx/geom), the zero-row
+    mask, the per-row routing decisions (li/cls/no_fit), and the patch-class
+    table.
     """
-    features = list(features)
-    b, _, _, c = features[0].shape
-    r = boxes.shape[1]
-    ph, pw = crop_size
-    assert ph == pw, "square pool expected"
-    pool = ph
     n = b * r
-    num_levels = len(features)
-    heights = np.array([f.shape[1] for f in features], dtype=np.int32)
-    widths = np.array([f.shape[2] for f in features], dtype=np.int32)
+    num_levels = len(heights)
 
     boxes = jax.lax.stop_gradient(boxes)
     lvl = roi_levels(
@@ -318,10 +307,6 @@ def batched_multilevel_roi_align_pallas(
         i1 = jnp.minimum(i0 + 1, size[:, None] - 1)
         return i0, i1, w
 
-    assert pallas_roi_align_supported(features), (
-        "level dims too small for the static patch classes — use the XLA "
-        "roi_align (images >= ~1024² supported here)"
-    )
     # classes: aspect-aware (small/wide/tall/big + flat strips) +
     # full-top-level last
     top_class = (int(heights[-1]), int(widths[-1]))
@@ -439,6 +424,54 @@ def batched_multilevel_roi_align_pallas(
         ],
         axis=-1,
     )  # [N, pool, 4]
+
+    return {
+        "meta": meta,
+        "xint": xint_arr,
+        "wx": wx_arr,
+        "geom": geom_arr,
+        "zero_row": zero_row,
+        "no_fit": no_fit,
+        "li": li,
+        "cls": cls,
+        "classes": classes,
+    }
+
+
+def batched_multilevel_roi_align_pallas(
+    features: Sequence[Array],
+    boxes: Array,
+    image_shape: Tuple[int, int],
+    crop_size: Tuple[int, int],
+    min_level: int = 2,
+    interpret: bool = False,
+    k_rois: int | None = None,
+) -> Array:
+    """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
+
+    features: per-level [B, H_l, W_l, C]; boxes [B, R, 4] normalized AND
+    clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
+    `k_rois` overrides the ROIs-per-grid-step batching factor (default
+    K_ROIS; higher amortizes per-step fixed costs at more VMEM scratch).
+    """
+    features = list(features)
+    b, _, _, c = features[0].shape
+    r = boxes.shape[1]
+    ph, pw = crop_size
+    assert ph == pw, "square pool expected"
+    pool = ph
+    n = b * r
+    num_levels = len(features)
+    heights = np.array([f.shape[1] for f in features], dtype=np.int32)
+    widths = np.array([f.shape[2] for f in features], dtype=np.int32)
+
+    assert pallas_roi_align_supported(features), (
+        "level dims too small for the static patch classes — use the XLA "
+        "roi_align (images >= ~1024² supported here)"
+    )
+    rm = _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r)
+    meta, xint_arr, wx_arr, geom_arr = rm["meta"], rm["xint"], rm["wx"], rm["geom"]
+    zero_row, classes = rm["zero_row"], rm["classes"]
 
     # pad the ROI axis to a multiple of K_ROIS with benign rows (class 0,
     # level 0, image 0, zero geometry) — their outputs are sliced off

@@ -57,6 +57,18 @@ def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
     tests' small convs), and within f32-mantissa rounding of the int32
     result beyond that — the e2e assertions are detection-level and
     tolerance-based.
+
+    Two consequences of this dual path (ADVICE r2):
+    - **Goldens are NOT transferable across backends** past the 2^24
+      accumulation bound (a 3×3 conv over 256 int8 channels can exceed it):
+      CPU-generated int8 fixtures (tests/golden/e2e_small.npz) pin the CPU
+      simulation, not the TPU int32 result. `test_golden_regression --regen`
+      must be run on the same backend the test runs on (CI = CPU).
+    - Dispatch keys on `jax.default_backend()` at TRACE time; tracing for a
+      non-default backend (e.g. `jax.jit(..., device=...)` onto CPU while
+      TPU is default) picks the wrong branch. All in-repo callers trace for
+      the default backend; use `jax.lax.platform_dependent` here if that
+      ever changes.
     """
     if jax.default_backend() == "tpu":
         return jax.lax.conv_general_dilated(

@@ -123,23 +123,40 @@ def serve(
     from objectdetection_tpu import checkpoint, detector
     from objectdetection_tpu.config import COCO_CONFIG
     from objectdetection_tpu.data.coco import COCO_CLASS_NAMES
+    from objectdetection_tpu.metrics import enable_compilation_cache
+
+    # persist XLA compilations: a cold COCO-scale compile costs ~5 min on
+    # the TPU relay; a restarted server deserializes instead
+    enable_compilation_cache()
 
     cfg = config or COCO_CONFIG
     if class_names is None:
         class_names = COCO_CLASS_NAMES
     if quantized:
         variables = jax.device_put(checkpoint.load_quantized(quantized))
-        # artifacts calibrated with per-channel act scales carry [C]
-        # out_scale vectors — the model config must match the tree layout
-        per_channel = any(
-            leaf.ndim == 1 and getattr(path[-1], "key", "") == "out_scale"
-            for path, leaf in jax.tree_util.tree_flatten_with_path(
-                variables.get("quant", {})
-            )[0]
-        )
-        cfg = cfg.replace(
-            quantized_inference=True, per_channel_acts=per_channel
-        )
+        meta = checkpoint.load_quant_meta(quantized)
+        if meta is not None:
+            # artifact records the exact gate settings it was calibrated
+            # with (each changes the variable-tree layout)
+            cfg = cfg.replace(
+                quantized_inference=True,
+                per_channel_acts=meta["per_channel_acts"],
+                quantize_rpn=meta["quantize_rpn"],
+                quantize_box_head=meta["quantize_box_head"],
+                quantize_mask_head=meta["quantize_mask_head"],
+            )
+        else:
+            # pre-metadata artifact: sniff per-channel from [C] out_scale
+            # vectors (head gates assumed default-on)
+            per_channel = any(
+                leaf.ndim == 1 and getattr(path[-1], "key", "") == "out_scale"
+                for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    variables.get("quant", {})
+                )[0]
+            )
+            cfg = cfg.replace(
+                quantized_inference=True, per_channel_acts=per_channel
+            )
     else:
         variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
         if weights:

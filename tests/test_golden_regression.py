@@ -7,6 +7,12 @@ changes pipeline numerics beyond tolerance fails loudly.
 
 Regenerate (after an INTENTIONAL numerics change) with:
     python tests/test_golden_regression.py --regen
+
+Regenerate ON THE BACKEND THE TEST RUNS ON (CI = CPU): the int8 fixtures
+pin quant.int8_conv's f32 CPU simulation, which is only bit-equal to the
+TPU int32 MXU path while per-output accumulation stays below 2^24 — CPU
+goldens are not transferable to TPU results and vice versa (see
+quant.int8_conv).
 """
 
 import os

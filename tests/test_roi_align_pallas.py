@@ -92,3 +92,67 @@ class TestPallasRoiAlign:
             rtol=2e-2,
             atol=2e-2,
         )
+
+
+class TestNoFitReroute:
+    """Pins the no_fit coarse-level reroute (ADVICE r2): pathological
+    finest-level ROIs — near-zero area but a span exceeding every patch
+    class — are sampled from the cached top pyramid level instead of being
+    corner-clamped. Asserts WHICH synthetic rows get no_fit=True (routing is
+    pure shape math via _route_and_meta, no kernel run) and that their
+    kernel output equals exact top-level sampling."""
+
+    # [row, no_fit?] taxonomy at 1024²: finest level is 256² where the
+    # largest non-top patch class is BIG=(48, 44)
+    BOXES = np.asarray(
+        [
+            [0.2, 0.1, 0.2, 0.9],     # flat-in-y, 204-col span: no class fits
+            [0.05, 0.3, 0.95, 0.3],   # flat-in-x, 229-row span: no class fits
+            [0.1, 0.1, 0.14, 0.14],   # small P2 box: fits SMALL
+            [0.2, 0.1, 0.2, 0.2],     # flat-in-y, 25-col span: fits FLATY
+            [0.0, 0.0, 0.0, 0.0],     # zero padding: top-level shortcut
+            [0.0, 0.0, 1.0, 1.0],     # full image: lives at the top level
+            [0.3, 0.3, 0.3, 0.3],     # degenerate point: fits SMALL
+            [0.48, 0.0, 0.52, 0.98],  # thin full-width band: no class fits
+        ],
+        np.float32,
+    )
+    EXPECT_NO_FIT = np.asarray([1, 1, 0, 0, 0, 0, 0, 1], bool)
+
+    def test_reroute_set_pinned(self):
+        from objectdetection_tpu.ops.roi_align_pallas import _route_and_meta
+
+        heights = np.asarray([256, 128, 64, 32], np.int32)
+        widths = heights.copy()
+        rm = _route_and_meta(
+            jnp.asarray(self.BOXES)[None], IMAGE, heights, widths,
+            pool=7, min_level=2, b=1, r=len(self.BOXES),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rm["no_fit"]), self.EXPECT_NO_FIT
+        )
+        # every rerouted row now reads the top level
+        li = np.asarray(rm["li"])
+        assert (li[self.EXPECT_NO_FIT] == len(heights) - 1).all()
+
+    @pytest.mark.slow
+    def test_rerouted_rows_equal_exact_top_level_sampling(self):
+        rng = np.random.RandomState(3)
+        feats = [
+            jnp.asarray(rng.randn(1, s, s, C).astype(np.float32))
+            for s in (256, 128, 64, 32)
+        ]
+        boxes = jnp.asarray(self.BOXES)[None]
+        got = batched_multilevel_roi_align_pallas(
+            feats, boxes, IMAGE, (7, 7), interpret=True
+        )
+        # exact sampling of the top level: a one-level pyramid forces every
+        # ROI onto that level in the XLA reference implementation
+        top_only = batched_multilevel_roi_align(
+            [feats[-1]], boxes, IMAGE, (7, 7)
+        )
+        for i in np.where(self.EXPECT_NO_FIT)[0]:
+            np.testing.assert_allclose(
+                np.asarray(got)[0, i], np.asarray(top_only)[0, i],
+                rtol=1e-5, atol=1e-5,
+            )
