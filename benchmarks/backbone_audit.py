@@ -40,13 +40,13 @@ STAGES = [
 ]
 
 
-def timed(run, iters):
-    """run(n) -> scalar; returns ms/iter via the on-device loop-delta
+def timed(run, iters, *args):
+    """run(n, *args) -> scalar; returns ms/iter via the on-device loop-delta
     method (CLAUDE.md: relay dispatch ~40 ms, block_until_ready no-op)."""
-    float(run(jnp.int32(1)))
-    float(run(jnp.int32(1)))
-    t0 = time.time(); float(run(jnp.int32(1))); t1 = time.time() - t0
-    t0 = time.time(); float(run(jnp.int32(1 + iters))); tm = time.time() - t0
+    float(run(jnp.int32(1), *args))
+    float(run(jnp.int32(1), *args))
+    t0 = time.time(); float(run(jnp.int32(1), *args)); t1 = time.time() - t0
+    t0 = time.time(); float(run(jnp.int32(1 + iters), *args)); tm = time.time() - t0
     return 1000.0 * max(tm - t1, 1e-9) / iters
 
 
@@ -139,7 +139,7 @@ def run_stage_timings(b, iters):
         sx = jnp.max(jnp.abs(x.astype(jnp.float32)))
 
         @jax.jit
-        def run(n, variables=variables, x=x, sx=sx, mod=mod):
+        def run(n, variables, x, sx, mod=mod):
             x8 = quant.quantize_act(x, sx)
 
             def body(_, carry):
@@ -154,7 +154,7 @@ def run_stage_timings(b, iters):
 
             return jax.lax.fori_loop(0, n, body, (x8, jnp.float32(0)))[1]
 
-        ms = timed(run, iters)
+        ms = timed(run, iters, variables, x, sx)
         g, fby, uby = stage_models(b, hw, cin, filters, blocks, stride)
         cmp_ms = 2 * g / (INT8_TOPS / 1e9) * 1e3
         memf_ms = fby / 1e9 / HBM_GBPS * 1e3
@@ -199,7 +199,7 @@ def conv_probe(b, iters):
 
         def mk(mode):
             @jax.jit
-            def run(n, x8=x8, k8=k8, sw=sw, bias=bias, mode=mode):
+            def run(n, x8, k8, sw, bias, mode=mode):
                 def body(_, carry):
                     xc, acc = carry
                     y32 = quant.int8_conv(xc, k8, (stride, stride), "SAME")
@@ -235,7 +235,7 @@ def conv_probe(b, iters):
         mem_ms = mem_min / 1e9 / HBM_GBPS * 1e3
         row = [f"{name:22s} cmp {cmp_ms:5.2f} mem {mem_ms:5.2f} |"]
         for mode in ("bare", "epilogue", "requant"):
-            ms = timed(mk(mode), iters)
+            ms = timed(mk(mode), iters, x8, k8, sw, bias)
             row.append(f" {mode} {ms:6.2f}")
         print("".join(row), flush=True)
 

@@ -79,6 +79,7 @@ def save_quantized(path: str, variables: Any, config: Any = None) -> None:
             "quantize_rpn": bool(config.quantize_rpn),
             "quantize_box_head": bool(config.quantize_box_head),
             "quantize_mask_head": bool(config.quantize_mask_head),
+            "quantize_fpn_p2": bool(config.quantize_fpn_p2),
             "backbone": config.backbone,
             "image_shape": list(config.image_shape),
         }

@@ -116,6 +116,11 @@ class DetectorConfig:
     quantize_rpn: bool = True
     quantize_box_head: bool = True
     quantize_mask_head: bool = True
+    # Keep the finest FPN level (the fpn_c2p2 lateral + fpn_p2 output conv)
+    # in float while the rest of the network runs int8: P2 feeds most mask
+    # ROIAlign samples, so this isolates/avoids the finest level's
+    # quantization error at ~6% extra FPN compute (P2 is the largest map).
+    quantize_fpn_p2: bool = True
     # Per-input-channel activation quantization for the backbone/FPN/RPN
     # convs and the carried residual stream: the [Cin] dequant folds into
     # each conv's int8 kernel at freeze time, so serving-path compute is

@@ -481,6 +481,10 @@ class ResNetFPN(nn.Module):
     s2d_stage2: bool = False
     fused_bottleneck: bool = False
     per_channel: bool = False
+    # keep the finest level's convs (fpn_c2p2 + fpn_p2) in float on an
+    # otherwise-int8 path (config.quantize_fpn_p2=False): P2 feeds most
+    # mask ROIAlign samples
+    quantize_p2: bool = True
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -502,18 +506,42 @@ class ResNetFPN(nn.Module):
         mk_lat = lambda name: make_conv(
             self.channels, (1, 1), name=name, per_channel=self.per_channel
         )
-        if self.quantized and not self.is_mutable_collection("quant"):
+        int8_stream = self.quantized and not self.is_mutable_collection(
+            "quant"
+        )
+        if int8_stream:
             # stages emitted (int8, scale) pairs — laterals consume directly
             lat = lambda name, c: mk_lat(name)(c[0], in_scale=c[1])
         else:
             lat = lambda name, c: mk_lat(name)(c)
 
+        # float-P2 gate: the finest level's two convs stay float on an
+        # otherwise-int8 path (same param layout via nn.Conv-compatible
+        # names through conv_factory(False))
+        if self.quantized and not self.quantize_p2:
+            make_float = conv_factory(False, dt)
+            lat_p2_conv = make_float(self.channels, (1, 1), name="fpn_c2p2")
+            out_p2 = make_float(
+                self.channels, (3, 3), padding="SAME", name="fpn_p2"
+            )
+            if int8_stream:
+                from objectdetection_tpu.quant import dequantize_act
+
+                lat_p2 = lambda c: lat_p2_conv(
+                    dequantize_act(c[0], c[1], dt)
+                )
+            else:
+                lat_p2 = lambda c: lat_p2_conv(c)
+        else:
+            lat_p2 = lambda c: lat("fpn_c2p2", c)
+            out_p2 = out("fpn_p2")
+
         m5 = lat("fpn_c5p5", c5)
         m4 = upsample2x_nearest(m5) + lat("fpn_c4p4", c4)
         m3 = upsample2x_nearest(m4) + lat("fpn_c3p3", c3)
-        m2 = upsample2x_nearest(m3) + lat("fpn_c2p2", c2)
+        m2 = upsample2x_nearest(m3) + lat_p2(c2)
 
-        p2 = out("fpn_p2")(m2)
+        p2 = out_p2(m2)
         p3 = out("fpn_p3")(m3)
         p4 = out("fpn_p4")(m4)
         p5 = out("fpn_p5")(m5)

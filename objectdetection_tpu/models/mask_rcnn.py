@@ -39,7 +39,8 @@ class MaskRCNN(nn.Module):
             remat=cfg.remat_backbone, quantized=cfg.quantized_inference,
             s2d_stage2=cfg.s2d_stage2,
             fused_bottleneck=cfg.fused_bottleneck,
-            per_channel=cfg.per_channel_acts, name="fpn",
+            per_channel=cfg.per_channel_acts,
+            quantize_p2=cfg.quantize_fpn_p2, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

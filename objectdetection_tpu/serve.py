@@ -144,6 +144,8 @@ def serve(
                 quantize_rpn=meta["quantize_rpn"],
                 quantize_box_head=meta["quantize_box_head"],
                 quantize_mask_head=meta["quantize_mask_head"],
+                # key absent in pre-gate artifacts (gate default: quantized)
+                quantize_fpn_p2=meta.get("quantize_fpn_p2", True),
             )
         else:
             # pre-metadata artifact: sniff per-channel from [C] out_scale

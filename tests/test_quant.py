@@ -459,3 +459,42 @@ class TestEndToEndQuantized:
         assert np.array_equal(
             np.asarray(det_a.scores), np.asarray(det_b.scores)
         )
+
+
+class TestFloatP2Gate:
+    """quantize_fpn_p2=False keeps the finest FPN level (fpn_c2p2 lateral +
+    fpn_p2 output conv) in float on an otherwise-int8 path — P2 feeds most
+    mask ROIAlign samples, so this gate isolates the finest level from
+    quantization error (VERDICT r2 #9)."""
+
+    def test_layout_and_forward(self):
+        cfg = SHAPES_CONFIG.replace(
+            quantized_inference=True,
+            quantize_fpn_p2=False,
+            pre_nms_rois_count=512,
+            post_nms_rois_training=128,
+            post_nms_rois_inference=128,
+        )
+        variables = detector.init_variables(cfg, jax.random.PRNGKey(0))
+        # float convs: plain nn.Conv — no entries in the quant collection
+        # (QuantConv records kernel_scale/act scales there)
+        qfpn = variables["quant"]["fpn"]
+        assert "fpn_c2p2" not in qfpn and "fpn_p2" not in qfpn
+        # the rest of the FPN stays QuantConv
+        for name in ("fpn_c3p3", "fpn_p3"):
+            assert "kernel_scale" in qfpn[name], name
+
+        imgs = jnp.asarray(
+            np.random.RandomState(1).rand(1, 128, 128, 3).astype(np.float32)
+            * 255.0
+            - 128.0
+        )
+        windows = jnp.asarray([[0.0, 0.0, 128.0, 128.0]])
+        variables = calibrate_variables(variables, imgs, cfg)
+        from objectdetection_tpu.quant import freeze_weights
+
+        fz = freeze_weights(variables)
+        det = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg)
+        )(fz, imgs, windows)
+        assert np.all(np.isfinite(np.asarray(det.boxes)))
