@@ -108,6 +108,51 @@ def run_stage_timings(b, iters):
     results = {}
     for name, hw, cin, filters, blocks, stride in STAGES:
         stage_idx = int(name[-1])
+        ms = None
+        for b_try in (b, b // 2, b // 4):
+            try:
+                ms = _time_stage(
+                    b_try, iters, name, hw, cin, filters, blocks, stride
+                )
+                break
+            except Exception as e:  # RESOURCE_EXHAUSTED on the big stages
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                print(f"{name}: OOM at batch {b_try}, halving", flush=True)
+        if ms is None:
+            print(f"{name}: OOM even at batch {b // 4}, skipped", flush=True)
+            continue
+        results[name] = _report_stage(
+            name, ms, b_try, b, hw, cin, filters, blocks, stride
+        )
+    print(f"total bottom-up (ex stem): {sum(results.values()):.1f} ms",
+          flush=True)
+    return results
+
+
+def _report_stage(name, ms, b_meas, b_report, hw, cin, filters, blocks, stride):
+    """Print one roofline row, normalizing the measurement to b_report."""
+    ms = ms * (b_report / b_meas)  # stages are linear in batch
+    note = f" (measured at b{b_meas}, scaled)" if b_meas != b_report else ""
+    g, fby, uby = stage_models(b_report, hw, cin, filters, blocks, stride)
+    cmp_ms = 2 * g / (INT8_TOPS / 1e9) * 1e3
+    memf_ms = fby / 1e9 / HBM_GBPS * 1e3
+    memu_ms = uby / 1e9 / HBM_GBPS * 1e3
+    tops = 2 * g / (ms / 1e3) / 1e3
+    gbf = fby / 1e9 / (ms / 1e3)
+    gbu = uby / 1e9 / (ms / 1e3)
+    print(f"{name:8s} {ms:8.2f} {tops:7.1f} {cmp_ms:7.2f} "
+          f"{memf_ms:8.2f} {memu_ms:8.2f} {gbf:8.0f} {gbu:8.0f}{note}",
+          flush=True)
+    return ms
+
+
+def _time_stage(b, iters, name, hw, cin, filters, blocks, stride):
+    from objectdetection_tpu.models.backbone import BottleneckBlock
+    import flax.linen as nn
+
+    stage_idx = int(name[-1])
+    if True:
 
         class Stage(nn.Module):
             @nn.compact
@@ -154,24 +199,10 @@ def run_stage_timings(b, iters):
 
             return jax.lax.fori_loop(0, n, body, (x8, jnp.float32(0)))[1]
 
-        ms = timed(run, iters, variables, x, sx)
-        g, fby, uby = stage_models(b, hw, cin, filters, blocks, stride)
-        cmp_ms = 2 * g / (INT8_TOPS / 1e9) * 1e3
-        memf_ms = fby / 1e9 / HBM_GBPS * 1e3
-        memu_ms = uby / 1e9 / HBM_GBPS * 1e3
-        tops = 2 * g / (ms / 1e3) / 1e3
-        gbf = fby / 1e9 / (ms / 1e3)
-        gbu = uby / 1e9 / (ms / 1e3)
-        print(f"{name:8s} {ms:8.2f} {tops:7.1f} {cmp_ms:7.2f} "
-              f"{memf_ms:8.2f} {memu_ms:8.2f} {gbf:8.0f} {gbu:8.0f}",
-              flush=True)
-        results[name] = ms
-    print(f"total bottom-up (ex stem): {sum(results.values()):.1f} ms",
-          flush=True)
-    return results
+        return timed(run, iters, variables, x, sx)
 
 
-def conv_probe(b, iters):
+def conv_probe(b, iters, only=None):
     """Single int8 convs at stage shapes, bare vs +epilogue vs +requant:
     a fused epilogue adds ~0 ms; a materializing one adds the elementwise
     pass times."""
@@ -186,6 +217,8 @@ def conv_probe(b, iters):
         ("s5 3x3 32²x512->512", 32, 512, 512, 3, 1),
     ]
     rng = np.random.RandomState(0)
+    if only is not None:
+        shapes = shapes[only : only + 1]
     for name, hw, cin, cout, k, stride in shapes:
         x8 = jnp.asarray(
             rng.randint(-127, 128, (b, hw, hw, cin)), jnp.int8
@@ -246,8 +279,28 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--skip-stages", action="store_true")
     ap.add_argument("--skip-probes", action="store_true")
+    ap.add_argument(
+        "--stage", default=None,
+        help="run ONE stage (stage2..stage5) in this process and exit — "
+        "after a ResourceExhausted the relay backend rejects all further "
+        "allocations in-process, so the driver runs stages as subprocesses",
+    )
+    ap.add_argument(
+        "--probe", type=int, default=None,
+        help="run ONE conv microprobe row (index) and exit",
+    )
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    if args.stage is not None:
+        spec = {s[0]: s for s in STAGES}[args.stage]
+        name, hw, cin, filters, blocks, stride = spec
+        b = args.batch
+        ms = _time_stage(b, args.iters, name, hw, cin, filters, blocks, stride)
+        _report_stage(name, ms, b, 96, hw, cin, filters, blocks, stride)
+        return
+    if args.probe is not None:
+        conv_probe(args.batch, args.iters, only=args.probe)
+        return
     if not args.skip_stages:
         run_stage_timings(args.batch, args.iters)
     if not args.skip_probes:

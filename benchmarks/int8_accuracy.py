@@ -51,6 +51,15 @@ def main():
         help="keep the mask head in float (cfg.quantize_mask_head=False)",
     )
     p.add_argument(
+        "--float-p2", action="store_true",
+        help="keep the finest FPN level in float (cfg.quantize_fpn_p2=False)",
+    )
+    p.add_argument(
+        "--bias-corr", action="store_true",
+        help="PTQ bias correction: fold E[weight-quant error * x] into "
+        "the conv biases after freezing (quant.apply_bias_correction)",
+    )
+    p.add_argument(
         "--approx-topk", action="store_true",
         help="use approx_max_k proposal selection in BOTH evals (isolates "
         "its accuracy cost on the trained model)",
@@ -104,6 +113,7 @@ def main():
         quantize_rpn=not args.float_rpn,
         quantize_box_head=not args.float_box_head,
         quantize_mask_head=not args.float_mask_head,
+        quantize_fpn_p2=not args.float_p2,
         per_channel_acts=args.per_channel,
     )
     # init with the quantized model to get the quant collection skeleton,
@@ -116,7 +126,14 @@ def main():
         batch_size=4,
         percentile=args.percentile,
     )
-    qvars = quant.freeze_weights(qvars)
+    if args.bias_corr:
+        means = quant.record_act_means(
+            qvars, jnp.asarray(calib.images), cfg_q, batch_size=4
+        )
+        frozen = quant.freeze_weights(qvars)
+        qvars = quant.apply_bias_correction(frozen, qvars, means)
+    else:
+        qvars = quant.freeze_weights(qvars)
     res_q = evaluate_on_shapes(
         qvars, cfg_q, ds, eval_ids,
         score_threshold=args.score_threshold, with_masks=True,

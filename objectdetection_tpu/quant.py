@@ -220,6 +220,24 @@ class QuantConv(nn.Module):
             else:
                 upd = jnp.max(absx)
             act_scale.value = jnp.maximum(act_scale.value, upd)
+            if (
+                self.is_mutable_collection("stats")
+                and not self.is_initializing()  # init mutates EVERY
+                # collection — sowing there would leak a zero-valued
+                # "stats" collection into init_variables' tree layout
+                and not self.s2d
+            ):
+                # per-input-channel mean of the conv input, consumed by
+                # apply_bias_correction (opt-in pass; the quant tree layout
+                # is unchanged when "stats" isn't mutable)
+                self.sow(
+                    "stats",
+                    "act_mean",
+                    jnp.mean(
+                        x.astype(jnp.float32),
+                        axis=tuple(range(x.ndim - 1)),
+                    ),
+                )
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 xk(kernel).astype(self.dtype),
@@ -320,6 +338,17 @@ class QuantDense(nn.Module):
             else:
                 upd = jnp.max(absx)
             act_scale.value = jnp.maximum(act_scale.value, upd)
+            if self.is_mutable_collection("stats") and not (
+                self.is_initializing()
+            ):
+                self.sow(
+                    "stats",
+                    "act_mean",
+                    jnp.mean(
+                        x.astype(jnp.float32),
+                        axis=tuple(range(x.ndim - 1)),
+                    ),
+                )
             y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
             x8 = quantize_act(x, act_scale.value)
@@ -606,3 +635,143 @@ def calibrate_variables(
         stacked,
     )
     return variables
+
+
+def record_act_means(variables, images: Array, config, batch_size=None):
+    """Per-conv-input channel means on the float forward, for
+    :func:`apply_bias_correction`.
+
+    Runs the same pipeline as :func:`calibrate_variables` with the "stats"
+    collection mutable, so every QuantConv/QuantDense sows the mean of its
+    input over batch/space. Returns the averaged stats tree (module paths
+    mirror the params tree). The quant collection is NOT modified — call
+    after calibration, on the still-float variables.
+    """
+    from objectdetection_tpu import detector
+    from objectdetection_tpu.anchors import config_anchors
+    from objectdetection_tpu.layers.proposals import proposal_layer
+
+    model = detector.build_model(config)
+    anchors = jnp.asarray(config_anchors(config))
+    b = batch_size or images.shape[0]
+    # a stale stats collection (e.g. from a checkpoint that captured one)
+    # would make sow APPEND to its tuples instead of starting fresh
+    variables = {k: v for k, v in variables.items() if k != "stats"}
+
+    @jax.jit
+    def step(variables, chunk):
+        mut = ["quant", "stats"]
+        (feats, _, probs, deltas), m = model.apply(
+            variables, chunk, method=model.extract, mutable=mut
+        )
+        stats = [m.get("stats", {})]
+        v = {**variables, "quant": m["quant"]}
+        props = proposal_layer(probs, deltas, anchors, config, training=False)
+        _, m = model.apply(
+            v, feats, props, method=model.classify_rois, mutable=mut
+        )
+        stats.append(m.get("stats", {}))
+        v = {**v, "quant": m["quant"]}
+        _, m = model.apply(
+            v,
+            feats,
+            props[:, : config.detection_post_nms_instances],
+            method=model.predict_masks,
+            mutable=mut,
+        )
+        stats.append(m.get("stats", {}))
+        merged = {}
+        for s in stats:
+            merged.update(dict(s))
+        return merged
+
+    chunks = []
+    for i in range(0, images.shape[0], b):
+        chunk = images[i : i + b]
+        if chunk.shape[0] != b:
+            pad = b - chunk.shape[0]
+            chunk = jnp.concatenate([chunk, chunk[:pad]], axis=0)
+        chunks.append(step(variables, chunk))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *chunks)
+    # sow stores a (value,) tuple per module; chunks have equal size so the
+    # mean of chunk means is the global mean
+    return jax.tree.map(lambda s: jnp.mean(s, axis=0), stacked)
+
+
+def apply_bias_correction(frozen, calibrated, means):
+    """Fold the expected weight-quantization error into the biases.
+
+    PTQ bias correction (Nagel et al., "Data-Free Quantization", 2019): the
+    int8 serving path realizes an effective kernel r = k8 * sw (per-tensor)
+    or r = k8 * sw with the [Cin] act-scale fold (per-channel) that differs
+    from the calibrated float kernel by a rounding/clipping residual
+    Δ = k_eff − r. Its expected output offset E[Δ·x] = Δ·E[x] is a constant
+    per output channel — subtracting it from the conv bias removes the
+    systematic part of the weight-quantization error at zero serving cost.
+
+    Args:
+      frozen: variables AFTER :func:`freeze_weights` (int8 kernels).
+      calibrated: the same variables BEFORE freezing (float kernels,
+        populated act scales).
+      means: stats tree from :func:`record_act_means`.
+
+    Returns: `frozen` with corrected biases.
+    """
+
+    def walk(fnode, cnode, qnode, mnode):
+        if not isinstance(fnode, dict):
+            return fnode
+        if (
+            "kernel_scale" in qnode
+            and "kernel" in fnode
+            and isinstance(mnode, dict)
+            and "act_mean" in mnode
+        ):
+            k8 = fnode["kernel"]
+            if k8.dtype != jnp.int8 or "bias" not in fnode:
+                return fnode
+            kf = cnode["kernel"].astype(jnp.float32)
+            sw = qnode["kernel_scale"].astype(jnp.float32)
+            act = qnode["act_scale"].astype(jnp.float32)
+            mean = mnode["act_mean"]
+            # sow stores (value,); take the latest if a stale entry leaked in
+            mean = mean[-1] if isinstance(mean, tuple) else mean
+            mean = mean.astype(jnp.float32)
+            if act.ndim == 1:  # per-channel: fold act into kernel, mean->x8
+                fold = act / ACT_QMAX
+                if kf.ndim == 4:
+                    k_eff = kf * fold.reshape(1, 1, -1, 1)
+                else:
+                    k_eff = kf * fold[:, None]
+                m_in = mean * jnp.where(act > 0, ACT_QMAX / act, 0.0)
+            else:  # per-tensor: r = k8*sw approximates k directly
+                k_eff = kf
+                m_in = mean
+            r = k8.astype(jnp.float32) * sw
+            delta = k_eff - r  # [*, Cin, Cout]
+            corr = jnp.tensordot(
+                m_in, delta.reshape(-1, mean.shape[0], delta.shape[-1])
+                .sum(axis=0), axes=1,
+            )
+            out = dict(fnode)
+            out["bias"] = fnode["bias"] + corr.astype(fnode["bias"].dtype)
+            return out
+        out = dict(fnode)
+        for key, fv in fnode.items():
+            if isinstance(fv, dict) and key in qnode:
+                out[key] = walk(
+                    fv,
+                    cnode.get(key, {}),
+                    qnode.get(key, {}),
+                    mnode.get(key, {}) if isinstance(mnode, dict) else {},
+                )
+        return out
+
+    out = dict(frozen)
+    out["params"] = walk(
+        dict(frozen["params"]),
+        dict(calibrated["params"]),
+        dict(frozen["quant"]),
+        dict(means),
+    )
+    return out
