@@ -33,6 +33,8 @@ SHAPES = [
     ("s2 1x1 256²x256->64", 48, 256, 256, 64),
     ("s2 1x1 256²x64->256", 48, 256, 64, 256),
     ("s5 1x1 32²x2048->512", 96, 32, 2048, 512),
+    ("s3 1x1 128²x128->512", 96, 128, 128, 512),
+    ("s5 1x1 32²x512->2048", 96, 32, 512, 2048),
 ]
 
 
@@ -97,13 +99,12 @@ def main():
                     ).reshape(b, hw, hw, cout)
                 y8 = epi(y)
                 s = jnp.sum(y8.astype(jnp.int32))
-                # genuine data dependency on the output (audit pattern)
-                if xc.dtype == jnp.int8:
-                    xn = jnp.clip(
-                        xc.astype(jnp.int32) + (s & 1), -128, 127
-                    ).astype(jnp.int8)
-                else:
-                    xn = xc + (s & 1).astype(xc.dtype) * 0.001
+                # data dependency WITHOUT a full input rewrite (a clip(x+s)
+                # feedback costs an extra read+write of x per iteration —
+                # ~1 ms of hidden traffic at these shapes, swamping the
+                # conv): poke ONE element in place
+                upd = (s & 1).astype(xc.dtype).reshape(1, 1, 1, 1)
+                xn = jax.lax.dynamic_update_slice(xc, upd, (0, 0, 0, 0))
                 return xn, acc + s.astype(jnp.float32)
 
             return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]

@@ -44,6 +44,28 @@ ACT_QMAX = 127.0
 W_QMAX = 127.0
 
 
+def _dot_lowering_wins(cin: int, cout: int) -> bool:
+    """Should a 1x1 stride-1 int8 conv lower as a reshaped dot_general?
+
+    Measured on v5e (benchmarks/one_by_one_probe.py, b96/b48, requant
+    epilogue included; ms conv-HLO vs reshaped-dot):
+      64²x256->1024   1.45 vs 0.68   dot wins (every EXPANDING shape did)
+      256²x64->256    1.38 vs 1.21   dot wins
+      32²x2048->512   0.52 vs 0.35   dot wins
+      256²x256->64    1.35 vs 0.74   dot wins
+      64²x1024->256   0.80 vs 1.01   conv wins
+      128²x512->128   1.13 vs 1.61   conv wins
+    Measured-win shapes only (no extrapolation: 4x contractions from
+    1024/512-ch inputs LOSE as dots, so the pattern is not a clean rule).
+    """
+    return (cin, cout) in (
+        (256, 1024),  # stage4 expand, 23 blocks — the big one
+        (64, 256),    # stage2 expand + projection shortcut
+        (256, 64),    # stage2 reduce
+        (2048, 512),  # stage5 reduce
+    )
+
+
 def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
     """The int8 conv, backend-dispatched.
 
@@ -70,6 +92,23 @@ def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
       the default backend; use `jax.lax.platform_dependent` here if that
       ever changes.
     """
+    kh, kw, cin, cout = k8.shape
+    if (
+        kh == 1
+        and kw == 1
+        and tuple(strides) == (1, 1)
+        and (
+            padding in ("SAME", "VALID")
+            or all(p == (0, 0) for p in padding)
+        )
+        and _dot_lowering_wins(cin, cout)
+    ):
+        # 1x1 stride-1 conv == matmul over flattened pixels; the dot
+        # lowering is up to 2x faster than the conv HLO on v5e for the
+        # shapes in _dot_lowering_wins (same int8 MXU numerics — both are
+        # exact int32 accumulations).
+        y = int8_dot(x8.reshape(-1, cin), k8.reshape(cin, cout))
+        return y.reshape(*x8.shape[:-1], cout)
     if jax.default_backend() == "tpu":
         return jax.lax.conv_general_dilated(
             x8, k8, window_strides=strides, padding=padding,

@@ -39,6 +39,27 @@ class TestQuantPrimitives:
         got0 = np.asarray(quantize_act(x, jnp.float32(0.0)))
         np.testing.assert_array_equal(got0, [0, 0])
 
+    def test_int8_conv_dot_lowering_matches_conv(self):
+        # (cin, cout) in the measured-win table lowers a 1x1 stride-1 conv
+        # as a reshaped dot_general (v5e: up to 2x faster, see
+        # _dot_lowering_wins). Same contraction, same values — results must
+        # match the conv lowering exactly (integer-valued accumulations
+        # below 2^24 are exact on both paths and both backends).
+        assert quant._dot_lowering_wins(256, 1024)
+        assert not quant._dot_lowering_wins(1024, 256)
+        rng = np.random.RandomState(7)
+        x8 = jnp.asarray(rng.randint(-127, 128, (2, 4, 4, 256)), jnp.int8)
+        k8 = jnp.asarray(rng.randint(-127, 128, (1, 1, 256, 1024)), jnp.int8)
+        got = quant.int8_conv(x8, k8, (1, 1), "SAME")
+        want = jax.lax.conv_general_dilated(
+            x8.astype(jnp.float32), k8.astype(jnp.float32),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float64), np.asarray(want, np.float64)
+        )
+
     def test_weight_qparams_per_channel(self):
         rng = np.random.RandomState(0)
         k = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))
