@@ -202,6 +202,59 @@ def _time_stage(b, iters, name, hw, cin, filters, blocks, stride):
         return timed(run, iters, variables, x, sx)
 
 
+def time_stem(b, iters):
+    """Stem (conv7x7/2 int8 + bn + relu + maxpool3x3/2) at 1024², the
+    unattributed ~18 ms between the stage sum and the end-to-end backbone."""
+    import flax.linen as nn
+
+    from objectdetection_tpu.models.backbone import FrozenBatchNorm, Stage1Conv
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = Stage1Conv(quantized=True, dtype=jnp.bfloat16, name="conv1")(x)
+            x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=jnp.bfloat16)(x))
+            return nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+
+    mod = Stem()
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (b, 1024, 1024, 3), jnp.float32)
+        .astype(jnp.bfloat16) * 60.0
+    )(jax.random.PRNGKey(0))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    _, m = mod.apply(variables, x, mutable=["quant"])
+    variables = {**variables, "quant": m["quant"]}
+
+    @jax.jit
+    def run(n, variables, x):
+        def body(_, carry):
+            xc, acc = carry
+            y = mod.apply(variables, xc)
+            s = jnp.sum(y.astype(jnp.float32))
+            upd = (s.astype(jnp.int32) & 1).astype(xc.dtype).reshape(
+                1, 1, 1, 1
+            )
+            xn = jax.lax.dynamic_update_slice(xc, upd, (0, 0, 0, 0))
+            return xn, acc + s
+
+        return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
+
+    ms = timed(run, iters, variables, x)
+    # rooflines: int8 read of 1024²x3 + bf16 write of 512²x64 + maxpool r/w
+    rd = b * 1024 * 1024 * 3
+    wr = b * 512 * 512 * 64 * 2
+    pool_traffic = wr + b * 256 * 256 * 64 * 2
+    mem_ms = (rd + wr + pool_traffic) / 1e9 / HBM_GBPS * 1e3
+    g = b * 512 * 512 * 49 * 3 * 64 / 1e9
+    cmp_ms = 2 * g / (INT8_TOPS / 1e9) * 1e3
+    print(
+        f"stem b{b}: {ms:8.2f} ms  cmp {cmp_ms:5.2f}  mem {mem_ms:5.2f}",
+        flush=True,
+    )
+
+
 def conv_probe(b, iters, only=None):
     """Single int8 convs at stage shapes, bare vs +epilogue vs +requant:
     a fused epilogue adds ~0 ms; a materializing one adds the elementwise
@@ -291,6 +344,9 @@ def main():
     )
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    if args.stage == "stem":
+        time_stem(args.batch, args.iters)
+        return
     if args.stage is not None:
         spec = {s[0]: s for s in STAGES}[args.stage]
         name, hw, cin, filters, blocks, stride = spec

@@ -127,6 +127,111 @@ class TestMaskMAP:
         assert abs(ev.evaluate()["mAP"] - 0.5) < 1e-6
 
 
+class TestIndependentCrossCheck:
+    """A from-scratch second implementation of score-ranked greedy-matching
+    AP (structured completely differently: per-threshold confusion counts
+    swept over every distinct score, envelope integration by scanning) must
+    agree with DetectionEvaluator on randomized inputs. Guards the headline
+    training/int8 mAP claims against evaluator bugs (pycocotools is not
+    installed here; this is the cross-implementation check in its place)."""
+
+    @staticmethod
+    def _iou(a, b):
+        y1 = max(a[0], b[0]); x1 = max(a[1], b[1])
+        y2 = min(a[2], b[2]); x2 = min(a[3], b[3])
+        inter = max(y2 - y1, 0.0) * max(x2 - x1, 0.0)
+        ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1])
+        return inter / (ua - inter) if ua - inter > 0 else 0.0
+
+    def _reference_map(self, images, num_classes, iou_t):
+        """Per class: global score-ordered greedy matching (each det takes
+        the highest-IoU unused same-image GT if >= iou_t), then AP as the
+        exact area under the best-precision-at-recall>=r envelope evaluated
+        at every prefix of the ranked detection list."""
+        aps = []
+        for cls in range(1, num_classes):
+            dets = []  # (score, img_idx, box)
+            n_gt = 0
+            for ii, img in enumerate(images):
+                for b, c, s in zip(*img["pred"]):
+                    if c == cls:
+                        dets.append((s, ii, b))
+                n_gt += sum(1 for c in img["gt"][1] if c == cls)
+            if n_gt == 0:
+                continue
+            dets.sort(key=lambda t: -t[0])
+            used = {ii: set() for ii in range(len(images))}
+            tp_flags = []
+            for s, ii, b in dets:
+                gtb, gtc = images[ii]["gt"]
+                best_j, best_iou = -1, 0.0
+                for j, (gb, gc) in enumerate(zip(gtb, gtc)):
+                    if gc != cls or j in used[ii]:
+                        continue
+                    iou = self._iou(b, gb)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_j >= 0 and best_iou >= iou_t:
+                    used[ii].add(best_j)
+                    tp_flags.append(1)
+                else:
+                    tp_flags.append(0)
+            # PR points at every prefix; AP = sum over distinct recall
+            # steps of (delta recall) * max precision at recall >= r
+            pts = []
+            tp = fp = 0
+            for f in tp_flags:
+                tp += f
+                fp += 1 - f
+                pts.append((tp / n_gt, tp / (tp + fp)))
+            ap = 0.0
+            prev_r = 0.0
+            for r, _ in sorted(set(pts)):
+                if r <= prev_r:
+                    continue
+                pmax = max(p2 for r2, p2 in pts if r2 >= r)
+                ap += (r - prev_r) * pmax
+                prev_r = r
+            aps.append(ap)
+        return float(np.mean(aps)) if aps else 0.0
+
+    def test_randomized_agreement(self):
+        rng = np.random.RandomState(0)
+        for trial in range(8):
+            num_classes = 4
+            images = []
+            ev = DetectionEvaluator(num_classes, iou_thresholds=(0.5,))
+            for _ in range(3):
+                g = rng.randint(1, 5)
+                gb = np.sort(rng.rand(g, 2, 2), axis=1).transpose(0, 2, 1)
+                gb = gb.reshape(g, 4)[:, [0, 2, 1, 3]]  # y1,x1,y2,x2 valid
+                gc = rng.randint(1, num_classes, g)
+                # predictions: jittered copies of GT (varying IoU) + noise
+                pb, pc, ps = [], [], []
+                for j in range(g):
+                    if rng.rand() < 0.8:
+                        jit = rng.randn(4) * rng.choice([0.0, 0.02, 0.1])
+                        pb.append(np.clip(gb[j] + jit, 0, 1))
+                        pc.append(gc[j] if rng.rand() < 0.85
+                                  else rng.randint(1, num_classes))
+                        ps.append(rng.rand())
+                for _ in range(rng.randint(0, 4)):  # spurious
+                    bb = np.sort(rng.rand(2, 2), axis=0).T.reshape(4)
+                    pb.append(bb[[0, 2, 1, 3]])
+                    pc.append(rng.randint(1, num_classes))
+                    ps.append(rng.rand())
+                pb = np.asarray(pb, np.float32).reshape(-1, 4)
+                pc = np.asarray(pc, np.int32)
+                ps = np.asarray(ps, np.float32)
+                ev.add_image(pb, pc, ps, gb, gc)
+                images.append({"pred": (pb, pc, ps), "gt": (gb, gc)})
+            got = ev.evaluate()["mAP"]
+            want = self._reference_map(images, num_classes, 0.5)
+            assert abs(got - want) < 1e-9, (
+                f"trial {trial}: evaluator {got} vs independent {want}"
+            )
+
+
 class TestMetrics:
     def test_step_timer(self):
         t = metrics.StepTimer()
