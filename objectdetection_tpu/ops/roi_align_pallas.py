@@ -9,9 +9,10 @@ inside one small bounding patch of ONE pyramid level, so this kernel instead:
 1. DMAs each ROI's bounding patch HBM→VMEM in ONE async copy (double
    buffered across grid steps; ~390-570 GB/s measured,
    benchmarks/patch_dma_probe.py),
-2. applies the x-interpolation with two dynamic lane-slices of the PATCH
-   per output column (offsets are multiples of C, so always lane-aligned),
-   producing [py, pool*C],
+2. applies the x-interpolation with ONE 2C-wide dynamic lane-slice of the
+   PATCH per output column (offsets are multiples of C, so always
+   lane-aligned; the two corner pixels are adjacent by host construction,
+   edge clamps folding into the blend weight), producing [py, pool*C],
 3. applies the y-interpolation as a [pool, py] x [py, pool*C] MXU matmul
    (the bilinear weight matrix has the two corner weights per row).
    x-first matters: y-first computed px*C matmul columns of which only
@@ -103,8 +104,8 @@ def pallas_roi_align_supported(features) -> bool:
 def _kernel(
     meta_ref,  # SMEM int32 [K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
     next_ref,  # SMEM int32 [K, 1, 8] next step's rows (table shifted by K)
-    xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0r | x1r (patch-relative)
-    wx_ref,  # SMEM f32 [K, 1, pool]: x lerp weights (scalar reads)
+    xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0w | unused (patch-relative)
+    wx_ref,  # SMEM f32 [K, 1, pool]: adjusted x lerp weights (scalar reads)
     geom_ref,  # VMEM f32 [K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
     out_ref,  # VMEM [K, pool, pool*C]
@@ -219,11 +220,17 @@ def _kernel(
                 # XLA path's blend-in-feature-dtype.
                 pref = patch_ref_fn()
                 for q in range(pool):
+                    # ONE 2C-wide dynamic lane slice per output column
+                    # instead of two C-wide ones: x1 == x0w + 1 by host
+                    # construction (edge clamps fold into the adjusted
+                    # weight — see _route_and_meta's x0w/wx_adj derivation,
+                    # exact for every row). Halves the dynamic-slice ops
+                    # and SMEM scalar reads in the per-ROI hot loop.
                     x0 = xint_ref[j, 0, q]
-                    x1 = xint_ref[j, 0, pool + q]
-                    wq = wx_ref[j, 0, q]  # scalar
-                    v0 = pref[0:py, pl.ds(x0 * chans, chans)]
-                    v1 = pref[0:py, pl.ds(x1 * chans, chans)]
+                    wq = wx_ref[j, 0, q]  # scalar (adjusted weight)
+                    a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
+                    v0 = a[:, 0:chans]
+                    v1 = a[:, chans : 2 * chans]
                     xb_ref[0:py, q * chans : (q + 1) * chans] = (
                         (1.0 - wq) * v0 + wq * v1
                     ).astype(compute_dtype)
@@ -403,14 +410,23 @@ def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
         axis=1,
     )  # [N, 8]
 
-    xint_arr = jnp.concatenate(
-        [
-            jnp.clip(x0i - x0a[:, None], 0, pxc[:, None] - 1),
-            jnp.clip(x1i - x0a[:, None], 0, pxc[:, None] - 1),
-        ],
-        axis=1,
-    ).astype(jnp.int32)  # [N, 2*pool]
-    wx_arr = wx.astype(jnp.float32)  # [N, pool]
+    # x-interp as ONE 2C-wide patch slice per pool column: the kernel reads
+    # patch[x0w] and patch[x0w + 1] and blends with weight wx'. Exact cases:
+    #   x1r == x0r + 1 (normal):        x0w = x0r,            wx' = wx
+    #   x1r == x0r (edge clamp; the true sample is patch[x0r] — wx is 0
+    #   there for every in-envelope row, see corners()):
+    #     x0r <= px-2:                  x0w = x0r,            wx' = 0
+    #     x0r == px-1 (keep the 2C read in patch bounds):
+    #                                   x0w = px-2,           wx' = 1
+    x0r = jnp.clip(x0i - x0a[:, None], 0, pxc[:, None] - 1)
+    x1r = jnp.clip(x1i - x0a[:, None], 0, pxc[:, None] - 1)
+    adj = x1r > x0r
+    x0w = jnp.where(adj, x0r, jnp.minimum(x0r, pxc[:, None] - 2))
+    xint_arr = x0w.astype(jnp.int32)  # [N, pool]
+    wx_arr = jnp.where(
+        adj, wx.astype(jnp.float32),
+        (x0r > pxc[:, None] - 2).astype(jnp.float32),
+    )  # [N, pool] adjusted weights
     geom_arr = jnp.stack(
         [
             jnp.clip(y0i - y0a[:, None], 0, pyc[:, None] - 1).astype(
@@ -515,7 +531,7 @@ def batched_multilevel_roi_align_pallas(
                 (k_r, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (k_r, 1, 2 * pool),
+                (k_r, 1, pool),
                 lambda g: (g, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
