@@ -292,6 +292,11 @@ def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
     # moved them off the cached top level) — route them through the cheap
     # cached top-level class instead and overwrite their output with the
     # exact value afterwards.
+    # Their pooled value is computed EXACTLY outside the kernel
+    # (features[0][img, 0, 0] broadcast), so inside the kernel they get the
+    # sentinel skip class: no DMA, no blend, no matmul — their out rows stay
+    # whatever the buffer held and are overwritten by the zero_row select
+    # below. On the random-weight bench mix this skips ~58% of all rows.
     zero_row = jnp.all(bx_flat == 0.0, axis=1)  # [N]
     li = jnp.where(zero_row, num_levels - 1, li)
 
@@ -381,6 +386,13 @@ def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
     for k in by_cost_desc:
         allowed = fits[k] & (~is_top | (k == 0))
         cls = jnp.where(allowed, k, cls)
+
+    # zero-padding rows: sentinel class -1 matches NO kernel branch (no
+    # patch DMA, no blend, no matmul); their outputs are overwritten with
+    # the exact corner value by the caller. select() below still picks a
+    # benign origin/patch-bound row for them (top class: cls==-1 falls
+    # through to per_class[-1]).
+    cls = jnp.where(zero_row, -1, cls)
 
     def select(per_class):
         out = per_class[-1]
@@ -500,7 +512,9 @@ def batched_multilevel_roi_align_pallas(
         return jnp.pad(a, widths_) if pad else a
 
     meta = pad0(meta)
-    xint_arr = pad0(xint_arr)[:, None, :]  # [N', 1, 2*pool]
+    if pad:  # pad rows take the sentinel skip class too (no DMA/compute)
+        meta = meta.at[n:, 2].set(-1)
+    xint_arr = pad0(xint_arr)[:, None, :]  # [N', 1, pool]
     wx_arr = pad0(wx_arr)[:, None, :]  # [N', 1, pool]
     geom_arr = pad0(geom_arr)
 
