@@ -46,7 +46,6 @@ def proposal_layer(
     stddev = jnp.asarray(config.rpn_bbox_stddev, jnp.float32)
 
     scores = rpn_probs[..., 1]  # [B, A] foreground
-    deltas = rpn_deltas * stddev  # proposals_tf.py:157
 
     # Approximate selection only on the inference path: its accuracy
     # evidence (recall/post-NMS match/trained mAP in
@@ -66,14 +65,23 @@ def proposal_layer(
         )(scores)
     else:
         top_scores, ix = jax.lax.top_k(scores, pre_nms)
-    # flatten the batch into the gather table: a vmapped take whose
-    # operand is batched hits XLA's slow batched-gather path on TPU
-    # (~4x, same lesson as batched_multilevel_roi_align)
+    # Decode EVERY anchor first (one fused elementwise pass over [B, A, 4] —
+    # sub-ms at 1024²/b96), then gather decoded boxes ONCE. The previous
+    # two-gather formulation (deltas by flat index + anchors shared) paid
+    # the ~170M rows/s gather-engine row rate twice: gathers here are
+    # row-bound, elementwise passes are bandwidth-bound — trading one
+    # gather for a decode pass is a net win. Flatten the batch into the
+    # gather table: a vmapped take whose operand is batched hits XLA's slow
+    # batched-gather path on TPU (~4x, same lesson as
+    # batched_multilevel_roi_align). Numerics identical: decode-then-gather
+    # applies the same per-element math (proposals_tf.py:157 stddev scale
+    # folds into the decode pass).
+    boxes_all = apply_box_deltas(
+        jnp.broadcast_to(anchors[None], (b, a, 4)), rpn_deltas * stddev
+    )
+    boxes_all = clip_boxes(boxes_all, jnp.array([0.0, 0.0, 1.0, 1.0]))
     flat_ix = ix + (jnp.arange(b, dtype=ix.dtype) * a)[:, None]
-    top_deltas = jnp.take(deltas.reshape(b * a, 4), flat_ix, axis=0)
-    top_anchors = jnp.take(anchors, ix, axis=0)  # shared operand: fast path
-    boxes = apply_box_deltas(top_anchors, top_deltas)
-    boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
+    boxes = jnp.take(boxes_all.reshape(b * a, 4), flat_ix, axis=0)
 
     def per_image(boxes_i, scores_i):
         # both top-k variants emit descending-score order → NMS skips sort
