@@ -145,6 +145,15 @@ class DetectorConfig:
     # at ~parity on degenerate (all-huge-box) inputs. See
     # ops/roi_align_pallas.py.
     pallas_roi_align: str = "all"
+    # int8 pooled-ROI stream: the Pallas align kernel quantizes pooled
+    # tensors in its epilogue with the consumer head's calibrated scales
+    # (recorded as pooled_box_scale / pooled_mask_scale during calibration)
+    # and the box/mask heads take the int8 input directly. Skips a separate
+    # read-bf16/write-int8 pass over the multi-GB pooled tensors that XLA
+    # cannot fuse into the opaque pallas_call. Bit-identical to the
+    # unfused quantize (parity-tested); active only where the Pallas
+    # kernel runs (TPU serving).
+    int8_pooled: bool = True
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

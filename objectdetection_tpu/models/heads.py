@@ -35,17 +35,27 @@ class BoxClassHead(nn.Module):
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
-    def __call__(self, pooled: Array) -> Tuple[Array, Array, Array]:
-        """pooled: [B, R, ph, pw, C] → ([B,R,num_classes] ×2, [B,R,num_classes,4])."""
+    def __call__(
+        self, pooled: Array, in_scale: Array | None = None
+    ) -> Tuple[Array, Array, Array]:
+        """pooled: [B, R, ph, pw, C] → ([B,R,num_classes] ×2, [B,R,num_classes,4]).
+
+        `in_scale`: activation scale(s) of an already-int8 `pooled` (the
+        int8-pooled stream from the Pallas align kernel; quantized path
+        only) — forwarded to the first dense layer.
+        """
         b, r, ph, pw, c = pooled.shape
         dt = self.dtype
         make_dense = dense_factory(self.quantized, dt)
-        x = pooled.reshape(b, r, ph * pw * c).astype(dt)
+        x = pooled.reshape(b, r, ph * pw * c)
+        if pooled.dtype != jnp.int8:
+            x = x.astype(dt)
 
         # 7x7 VALID conv == dense over the flattened ROI (mrcnn_class_conv1)
-        x = make_dense(
+        conv1 = make_dense(
             1024, name="mrcnn_class_conv1", per_channel=self.per_channel
-        )(x)
+        )
+        x = conv1(x, in_scale) if in_scale is not None else conv1(x)
         x = nn.relu(FrozenBatchNorm(name="mrcnn_class_bn1", dtype=dt)(x))
         # 1x1 conv == dense (mrcnn_class_conv2)
         x = make_dense(
@@ -120,17 +130,30 @@ class MaskHead(nn.Module):
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
-    def __call__(self, pooled: Array, class_ids: Array | None = None) -> Array:
+    def __call__(
+        self,
+        pooled: Array,
+        class_ids: Array | None = None,
+        in_scale: Array | None = None,
+    ) -> Array:
         b, r, ph, pw, c = pooled.shape
         dt = self.dtype
         make_conv = conv_factory(self.quantized, dt)
-        x = pooled.reshape(b * r, ph, pw, c).astype(dt)
+        x = pooled.reshape(b * r, ph, pw, c)
+        if pooled.dtype != jnp.int8:
+            x = x.astype(dt)
 
         for i in range(1, 5):
-            x = make_conv(
+            conv = make_conv(
                 self.channels, (3, 3), padding="SAME",
                 name=f"mrcnn_mask_conv{i}", per_channel=self.per_channel,
-            )(x)
+            )
+            # int8-pooled stream from the Pallas align kernel enters conv1
+            x = (
+                conv(x, in_scale)
+                if (i == 1 and in_scale is not None)
+                else conv(x)
+            )
             x = nn.relu(FrozenBatchNorm(name=f"mrcnn_mask_bn{i}", dtype=dt)(x))
 
         x = nn.ConvTranspose(

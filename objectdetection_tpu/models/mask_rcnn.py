@@ -62,6 +62,27 @@ class MaskRCNN(nn.Module):
             per_channel=cfg.per_channel_acts,
             name="mrcnn_mask",
         )
+        if cfg.quantized_inference:
+            # pooled-ROI activation scales: recorded during calibration and
+            # handed to the Pallas align kernel so it can emit int8 pooled
+            # tensors directly (cfg.int8_pooled), skipping a separate
+            # multi-GB quantize pass XLA cannot fuse into the opaque
+            # pallas_call. Per flattened position for the dense box head
+            # ([ph*pw*C] with per-channel acts), per channel for the mask
+            # trunk conv ([C]) — the SAME statistic those heads' own
+            # act_scale records, so both quantizations agree exactly.
+            ph, pw = cfg.pool_shape
+            c = cfg.fpn_channels
+            box_shape = (ph * pw * c,) if cfg.per_channel_acts else ()
+            mask_shape = (c,) if cfg.per_channel_acts else ()
+            self.pooled_box_scale = self.variable(
+                "quant", "pooled_box_scale",
+                lambda: jnp.zeros(box_shape, jnp.float32),
+            )
+            self.pooled_mask_scale = self.variable(
+                "quant", "pooled_mask_scale",
+                lambda: jnp.zeros(mask_shape, jnp.float32),
+            )
 
     def extract(self, images: Array):
         """images [B, H, W, 3] → (pyramid P2..P6, rpn logits/probs/deltas)."""
@@ -71,11 +92,16 @@ class MaskRCNN(nn.Module):
         logits, probs, deltas = self.rpn(feats)
         return feats, logits, probs, deltas
 
-    def _roi_align(self, feats, rois, crop_size, use_pallas: bool, stage: str):
+    def _roi_align(
+        self, feats, rois, crop_size, use_pallas: bool, stage: str,
+        out_quant=None,
+    ):
         """Pooling dispatch: Pallas patch-DMA kernel on the inference path
         (TPU, big-enough pyramids, stage enabled in cfg.pallas_roi_align),
         XLA gather otherwise (training — the Pallas call has no JVP — CPU,
-        and small images)."""
+        and small images). `out_quant` (a [ph, pw, C] scale map) makes the
+        Pallas kernel emit int8 pooled tensors directly; the XLA path
+        ignores it (its consumers quantize internally as before)."""
         cfg = self.config
         feats = list(feats[:4])
         stage_on = cfg.pallas_roi_align == "all" or cfg.pallas_roi_align == stage
@@ -85,10 +111,11 @@ class MaskRCNN(nn.Module):
             and jax.default_backend() == "tpu"
             and pallas_roi_align_supported(feats)
         ):
-            align = batched_multilevel_roi_align_pallas
-        else:
-            align = batched_multilevel_roi_align
-        return align(
+            return batched_multilevel_roi_align_pallas(
+                feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size),
+                out_quant=out_quant,
+            )
+        return batched_multilevel_roi_align(
             feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size)
         )
 
@@ -97,9 +124,42 @@ class MaskRCNN(nn.Module):
     ):
         """ROIAlign + box/class head: rois [B, R, 4] → (logits, probs, bbox)."""
         cfg = self.config
-        pooled = self._roi_align(
-            feats, rois, cfg.pool_shape, use_pallas, "boxes"
+        ph, pw = cfg.pool_shape
+        c = cfg.fpn_channels
+        calibrating = self.is_mutable_collection("quant")
+        int8p = (
+            cfg.quantized_inference
+            and cfg.quantize_box_head
+            and cfg.int8_pooled
+            and not calibrating
         )
+        out_quant = None
+        if int8p:
+            s = self.pooled_box_scale.value
+            if s.ndim == 0:
+                s = jnp.full((ph * pw * c,), s)
+            out_quant = s.reshape(ph, pw, c)
+        pooled = self._roi_align(
+            feats, rois, cfg.pool_shape, use_pallas, "boxes",
+            out_quant=out_quant,
+        )
+        if cfg.quantized_inference and calibrating:
+            # record the pooled-ROI absmax — the identical statistic the
+            # box head's first dense layer records as its act_scale, so
+            # the in-kernel quantization and the head's agree exactly
+            a = jnp.abs(pooled.astype(jnp.float32)).reshape(-1, ph * pw * c)
+            upd = (
+                jnp.max(a, axis=0)
+                if cfg.per_channel_acts
+                else jnp.max(a)
+            )
+            self.pooled_box_scale.value = jnp.maximum(
+                self.pooled_box_scale.value, upd
+            )
+        if pooled.dtype == jnp.int8:
+            return self.box_head(
+                pooled, in_scale=self.pooled_box_scale.value
+            )
         return self.box_head(pooled.astype(jnp.dtype(cfg.compute_dtype)))
 
     def predict_masks(
@@ -115,9 +175,41 @@ class MaskRCNN(nn.Module):
         mask and returns [B, R, 28, 28] (inference fast path).
         """
         cfg = self.config
-        pooled = self._roi_align(
-            feats, rois, cfg.mask_pool_shape, use_pallas, "masks"
+        mh, mw = cfg.mask_pool_shape
+        c = cfg.fpn_channels
+        calibrating = self.is_mutable_collection("quant")
+        int8p = (
+            cfg.quantized_inference
+            and cfg.quantize_mask_head
+            and cfg.int8_pooled
+            and not calibrating
         )
+        out_quant = None
+        if int8p:
+            s = self.pooled_mask_scale.value  # [C] or scalar
+            out_quant = jnp.broadcast_to(
+                s.reshape(1, 1, -1) if s.ndim else s, (mh, mw, c)
+            )
+        pooled = self._roi_align(
+            feats, rois, cfg.mask_pool_shape, use_pallas, "masks",
+            out_quant=out_quant,
+        )
+        if cfg.quantized_inference and calibrating:
+            # same statistic as the mask trunk conv1's act_scale (per input
+            # channel with per-channel acts, one scalar otherwise)
+            a = jnp.abs(pooled.astype(jnp.float32))
+            upd = (
+                jnp.max(a, axis=(0, 1, 2, 3))
+                if cfg.per_channel_acts
+                else jnp.max(a)
+            )
+            self.pooled_mask_scale.value = jnp.maximum(
+                self.pooled_mask_scale.value, upd
+            )
+        if pooled.dtype == jnp.int8:
+            return self.mask_head(
+                pooled, class_ids, in_scale=self.pooled_mask_scale.value
+            )
         return self.mask_head(
             pooled.astype(jnp.dtype(cfg.compute_dtype)), class_ids
         )

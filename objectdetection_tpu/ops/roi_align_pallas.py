@@ -107,6 +107,7 @@ def _kernel(
     xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0w | unused (patch-relative)
     wx_ref,  # SMEM f32 [K, 1, pool]: adjusted x lerp weights (scalar reads)
     geom_ref,  # VMEM f32 [K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
+    qinv_ref,  # VMEM f32 [pool, pool*C]: 127/scale map (int8 out) or [1, 1]
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
     out_ref,  # VMEM [K, pool, pool*C]
     *scratch,
@@ -115,6 +116,7 @@ def _kernel(
     classes,
     level_dims,
     compute_dtype,
+    quantize_out: bool,
 ):
     bufs, b_top, state_ref, xb_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
@@ -255,7 +257,19 @@ def _kernel(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [pool, pool*C]
-                out_ref[j, :, :] = out.astype(out_ref.dtype)
+                if quantize_out:
+                    # int8 epilogue: quantize with the consumer head's
+                    # calibrated scales (pre-inverted on the host). The
+                    # bf16 round-trip first reproduces the XLA path's
+                    # pooled-tensor dtype, so int8 codes match the
+                    # quantize_act(pooled_bf16) result bit-for-bit.
+                    v = out.astype(compute_dtype).astype(jnp.float32)
+                    q = jnp.clip(
+                        jnp.round(v * qinv_ref[:, :]), -128.0, 127.0
+                    )
+                    out_ref[j, :, :] = q.astype(jnp.int8)
+                else:
+                    out_ref[j, :, :] = out.astype(out_ref.dtype)
 
 
 def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
@@ -474,6 +488,7 @@ def batched_multilevel_roi_align_pallas(
     min_level: int = 2,
     interpret: bool = False,
     k_rois: int | None = None,
+    out_quant: Array | None = None,
 ) -> Array:
     """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
 
@@ -481,6 +496,14 @@ def batched_multilevel_roi_align_pallas(
     clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
     `k_rois` overrides the ROIs-per-grid-step batching factor (default
     K_ROIS; higher amortizes per-step fixed costs at more VMEM scratch).
+
+    `out_quant`: optional [ph, pw, C] float32 map of the consumer's
+    calibrated activation scales — when given the kernel quantizes pooled
+    values in its epilogue and returns int8, bit-identical to
+    ``quant.quantize_act(pooled, scale)`` of the unquantized output
+    (per-position map; broadcast a scalar/per-channel scale before the
+    call). Skips the separate multi-GB quantize pass XLA cannot fuse into
+    the opaque pallas_call.
     """
     features = list(features)
     b, _, _, c = features[0].shape
@@ -528,6 +551,13 @@ def batched_multilevel_roi_align_pallas(
     meta_next = meta_next[:, None, :]
 
     dt = features[0].dtype
+    quantize_out = out_quant is not None
+    if quantize_out:
+        s = out_quant.astype(jnp.float32).reshape(pool, pool * c)
+        qinv = jnp.where(s > 0, 127.0 / jnp.maximum(s, 1e-30), 0.0)
+    else:
+        qinv = jnp.zeros((1, 1), jnp.float32)
+    out_dt = jnp.int8 if quantize_out else dt
     feat_views = [
         f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features
     ]
@@ -553,6 +583,7 @@ def batched_multilevel_roi_align_pallas(
                 (k_r, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((k_r, pool, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec(qinv.shape, lambda g: (0, 0)),
             *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
         ],
         out_specs=pl.BlockSpec(
@@ -591,9 +622,10 @@ def batched_multilevel_roi_align_pallas(
             classes=classes,
             level_dims=tuple(zip(heights.tolist(), widths.tolist())),
             compute_dtype=dt,
+            quantize_out=quantize_out,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), dt),
+        out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), out_dt),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(
@@ -602,14 +634,27 @@ def batched_multilevel_roi_align_pallas(
         xint_arr,
         wx_arr,
         geom_arr,
+        qinv,
         *feat_views,
     )
     out = out[:n].reshape(b, r, pool, pool, c)
     # exact zero-box value: bilinear at (0, 0) of the finest level (the
     # roi_levels parity rule) == that level's corner feature, replicated
-    p2_corner = features[0][:, 0, 0, :].astype(out.dtype)  # [B, C]
+    p2_corner = features[0][:, 0, 0, :]  # [B, C]
+    if quantize_out:
+        # quantize the replicated corner with the same per-position map the
+        # kernel applies (bf16 round-trip included via the feature dtype)
+        v = p2_corner.astype(jnp.float32)[:, None, None, :] * qinv.reshape(
+            pool, pool, c
+        )[None]
+        fill = jnp.clip(jnp.round(v), -128.0, 127.0).astype(jnp.int8)
+    else:
+        fill = jnp.broadcast_to(
+            p2_corner.astype(out.dtype)[:, None, None, :],
+            (b, pool, pool, c),
+        )
     return jnp.where(
         zero_row.reshape(b, r)[..., None, None, None],
-        p2_corner[:, None, None, None, :],
+        fill[:, None],
         out,
     )

@@ -344,7 +344,14 @@ class QuantDense(nn.Module):
     per_channel: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, in_scale: Array | None = None) -> Array:
+        """Apply the dense layer.
+
+        `in_scale`: activation scale of a pre-quantized int8 `x` (the
+        int8-pooled ROI stream from the Pallas align kernel — same contract
+        as QuantConv.in_scale: the producer quantized with scales recording
+        the identical absmax as this layer's act_scale).
+        """
         cin = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -390,20 +397,31 @@ class QuantDense(nn.Module):
                 )
             y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
         else:
-            x8 = quantize_act(x, act_scale.value)
             if self.per_channel:
+                scale_in = (
+                    in_scale if in_scale is not None else act_scale.value
+                )
+                x8 = x if in_scale is not None else quantize_act(
+                    x, act_scale.value
+                )
                 if kernel.dtype == jnp.int8:  # frozen offline (pre-folded)
                     k8, sw = kernel, kernel_scale.value
                 else:
-                    k_eff = kernel * (act_scale.value / ACT_QMAX)[:, None]
+                    k_eff = kernel * (scale_in / ACT_QMAX)[:, None]
                     k8, sw = weight_qparams(k_eff)
                 post = sw
             else:
+                if in_scale is not None:
+                    sx = in_scale / ACT_QMAX
+                    x8 = x  # already int8
+                else:
+                    sx = act_scale.value / ACT_QMAX
+                    x8 = quantize_act(x, act_scale.value)
                 if kernel.dtype == jnp.int8:  # frozen offline
                     k8, sw = kernel, kernel_scale.value
                 else:
                     k8, sw = weight_qparams(kernel)
-                post = (act_scale.value / ACT_QMAX) * sw
+                post = sx * sw
             y32 = int8_dot(x8, k8)
             y = (y32.astype(jnp.float32) * post).astype(self.dtype)
         if bias is not None:

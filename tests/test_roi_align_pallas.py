@@ -79,6 +79,32 @@ class TestPallasRoiAlign:
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
 
+    def test_int8_out_matches_quantize_act(self, pyramid):
+        # out_quant makes the kernel emit int8 directly (cfg.int8_pooled);
+        # codes must equal quantizing the kernel's own float output with
+        # the same per-position scale map — bit-for-bit.
+        boxes = _boxes()[:, :16]
+        feats16 = [f.astype(jnp.bfloat16) for f in pyramid]
+        pool = 7
+        rng = np.random.RandomState(3)
+        scale_map = jnp.asarray(
+            rng.rand(pool, pool, C).astype(np.float32) * 5.0 + 0.1
+        )
+        ref = batched_multilevel_roi_align_pallas(
+            feats16, boxes, IMAGE, (pool, pool), interpret=True
+        )
+        inv = 127.0 / scale_map
+        want = jnp.clip(
+            jnp.round(ref.astype(jnp.float32) * inv[None, None]),
+            -128.0, 127.0,
+        ).astype(jnp.int8)
+        got = batched_multilevel_roi_align_pallas(
+            feats16, boxes, IMAGE, (pool, pool), interpret=True,
+            out_quant=scale_map,
+        )
+        assert got.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_matches_xla_bf16(self, pyramid):
         boxes = _boxes()[:, :16]
         feats16 = [f.astype(jnp.bfloat16) for f in pyramid]
