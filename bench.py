@@ -197,6 +197,10 @@ def main():
             t0 = time.time()
             try:
                 variables = jax.device_put(checkpoint.load_quantized(cache))
+                if "pooled_box_scale" not in variables.get("quant", {}):
+                    # pre-int8_pooled artifact: loads fine but would fail
+                    # at apply time (missing quant variables)
+                    raise ValueError("stale artifact: no pooled-ROI scales")
                 loaded = True
                 print(
                     f"int8 artifact loaded from {cache}: "

@@ -134,6 +134,12 @@ def serve(
         class_names = COCO_CLASS_NAMES
     if quantized:
         variables = jax.device_put(checkpoint.load_quantized(quantized))
+        if "pooled_box_scale" not in variables.get("quant", {}):
+            raise ValueError(
+                f"stale int8 artifact {quantized}: missing the pooled-ROI "
+                "scales introduced by cfg.int8_pooled — regenerate with "
+                "`odtpu quantize`"
+            )
         meta = checkpoint.load_quant_meta(quantized)
         if meta is not None:
             # artifact records the exact gate settings it was calibrated
