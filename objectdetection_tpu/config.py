@@ -145,6 +145,14 @@ class DetectorConfig:
     # at ~parity on degenerate (all-huge-box) inputs. See
     # ops/roi_align_pallas.py.
     pallas_roi_align: str = "all"
+    # Lower 1x1 stride-1 int8 convs at measured-win shapes as reshaped
+    # dot_generals (quant._dot_lowering_wins). The per-op probe
+    # (benchmarks/one_by_one_probe.py) showed up to 2x wins, but in-context
+    # fusion/layout effects can differ — this gate exists so the lowering
+    # can be measured end-to-end (benchmarks/bench_matrix.py) and switched
+    # without code edits. Default reflects the latest end-to-end TPU
+    # measurement recorded in CLAUDE.md.
+    int8_dot_lowering: bool = True
     # int8 pooled-ROI stream: the Pallas align kernel quantizes pooled
     # tensors in its epilogue with the consumer head's calibrated scales
     # (recorded as pooled_box_scale / pooled_mask_scale during calibration)

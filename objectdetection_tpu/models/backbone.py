@@ -147,6 +147,8 @@ class BottleneckBlock(nn.Module):
     # per-input-channel activation quantization (QuantConv.per_channel):
     # the carried stream's out_scale becomes a [C3] vector
     per_channel: bool = False
+    # lower measured-win 1x1 int8 convs as dots (config.int8_dot_lowering)
+    dot_lowering: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -163,7 +165,9 @@ class BottleneckBlock(nn.Module):
         f1, f2, f3 = self.filters
         if self.s2d:
             assert self.stride == 1, "s2d blocks are stride-1 only"
-        make_conv = conv_factory(self.quantized, self.dtype)
+        make_conv = conv_factory(
+            self.quantized, self.dtype, dot_lowering=self.dot_lowering
+        )
         conv = lambda f, k, s, name: make_conv(
             f, (k, k), strides=(s, s), padding="SAME", name=name,
             s2d=self.s2d, per_channel=self.per_channel,
@@ -370,6 +374,7 @@ class ResNetBottomUp(nn.Module):
     s2d_stage2: bool = False  # run stage 2 in the 2x2-blocked basis
     fused_bottleneck: bool = False  # Pallas fused int8 identity blocks
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
+    dot_lowering: bool = True  # config.int8_dot_lowering
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -419,7 +424,8 @@ class ResNetBottomUp(nn.Module):
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
                 quantized=self.quantized, s2d=s2d,
-                per_channel=self.per_channel, name=f"res{stage_idx}a",
+                per_channel=self.per_channel,
+                dot_lowering=self.dot_lowering, name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
@@ -428,6 +434,7 @@ class ResNetBottomUp(nn.Module):
                     quantized=self.quantized, s2d=s2d,
                     fused=self.fused_bottleneck,
                     per_channel=self.per_channel,
+                    dot_lowering=self.dot_lowering,
                     name=f"res{stage_idx}{blk}",
                 )(x)
             return x
@@ -485,6 +492,7 @@ class ResNetFPN(nn.Module):
     # otherwise-int8 path (config.quantize_fpn_p2=False): P2 feeds most
     # mask ROIAlign samples
     quantize_p2: bool = True
+    dot_lowering: bool = True  # config.int8_dot_lowering
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -495,10 +503,13 @@ class ResNetFPN(nn.Module):
             remat=self.remat, quantized=self.quantized,
             s2d_stage2=self.s2d_stage2,
             fused_bottleneck=self.fused_bottleneck,
-            per_channel=self.per_channel, name="resnet",
+            per_channel=self.per_channel,
+            dot_lowering=self.dot_lowering, name="resnet",
         )(images)
 
-        make_conv = conv_factory(self.quantized, dt)
+        make_conv = conv_factory(
+            self.quantized, dt, dot_lowering=self.dot_lowering
+        )
         out = lambda name: make_conv(
             self.channels, (3, 3), padding="SAME", name=name,
             per_channel=self.per_channel,

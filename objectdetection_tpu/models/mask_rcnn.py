@@ -40,7 +40,8 @@ class MaskRCNN(nn.Module):
             s2d_stage2=cfg.s2d_stage2,
             fused_bottleneck=cfg.fused_bottleneck,
             per_channel=cfg.per_channel_acts,
-            quantize_p2=cfg.quantize_fpn_p2, name="fpn",
+            quantize_p2=cfg.quantize_fpn_p2,
+            dot_lowering=cfg.int8_dot_lowering, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

@@ -66,7 +66,9 @@ def _dot_lowering_wins(cin: int, cout: int) -> bool:
     )
 
 
-def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
+def int8_conv(
+    x8: Array, k8: Array, strides, padding, dot_lowering: bool = True
+) -> Array:
     """The int8 conv, backend-dispatched.
 
     On TPU: int8×int8 → int32 on the MXU (the whole point of the PTQ
@@ -94,7 +96,8 @@ def int8_conv(x8: Array, k8: Array, strides, padding) -> Array:
     """
     kh, kw, cin, cout = k8.shape
     if (
-        kh == 1
+        dot_lowering
+        and kh == 1
         and kw == 1
         and tuple(strides) == (1, 1)
         and (
@@ -190,6 +193,8 @@ class QuantConv(nn.Module):
     # of the carried stream was the dominant PTQ accuracy cost (measured:
     # float-head ablations recover ~nothing, see benchmarks/int8_accuracy).
     per_channel: bool = False
+    # lower measured-win 1x1 shapes as reshaped dots (config.int8_dot_lowering)
+    dot_lowering: bool = True
 
     @nn.compact
     def __call__(self, x: Array, in_scale: Array | None = None) -> Array:
@@ -320,7 +325,10 @@ class QuantConv(nn.Module):
                 else:
                     k8, sw = weight_qparams(kernel)
                 post = sx * xc(sw)
-            y32 = int8_conv(x8, xk(k8), self.strides, padding)
+            y32 = int8_conv(
+                x8, xk(k8), self.strides, padding,
+                dot_lowering=self.dot_lowering,
+            )
             y = y32.astype(jnp.float32) * post
             y = y.astype(self.dtype)
         if bias is not None:
@@ -486,7 +494,7 @@ class S2DConv(nn.Module):
         return y + jnp.tile(bias, 4).astype(self.dtype)
 
 
-def conv_factory(quantized: bool, dtype: Any):
+def conv_factory(quantized: bool, dtype: Any, dot_lowering: bool = True):
     """Returns a `(features, kernel, strides, padding, name) -> Module`
     constructor: ``nn.Conv`` normally, :class:`QuantConv` when quantized,
     and the blocked-basis variants with ``s2d=True``.
@@ -505,6 +513,7 @@ def conv_factory(quantized: bool, dtype: Any):
                 dtype=dtype,
                 s2d=s2d,
                 per_channel=per_channel and not s2d,
+                dot_lowering=dot_lowering,
                 name=name,
             )
         if s2d:
