@@ -50,6 +50,12 @@ MATRIX = {
     # bounds the align kernel family's contribution.
     "r2ish_align_xla": dict(per_channel_acts=False, int8_pooled=False,
                             int8_dot_lowering=False, pallas_roi_align="off"),
+    # single flip: decode-all-anchors proposals back to gather-then-decode
+    "no_decode_all": dict(per_channel_acts=True, int8_pooled=True,
+                          int8_dot_lowering=True, proposal_decode_all=False),
+    # full r2 recipe over gated flags (r2ish + r2 proposal formulation)
+    "r2ish_prop": dict(per_channel_acts=False, int8_pooled=False,
+                       int8_dot_lowering=False, proposal_decode_all=False),
 }
 
 

@@ -153,6 +153,12 @@ class DetectorConfig:
     # without code edits. Default reflects the latest end-to-end TPU
     # measurement recorded in CLAUDE.md.
     int8_dot_lowering: bool = True
+    # Proposal-layer box decode order: True decodes ALL anchors in one
+    # elementwise pass then gathers once (r3 formulation); False gathers
+    # deltas+anchors for the pre-NMS top-k then decodes (r2 formulation).
+    # Numerically identical either way; gate exists for end-to-end
+    # measurement (benchmarks/bench_matrix.py).
+    proposal_decode_all: bool = True
     # int8 pooled-ROI stream: the Pallas align kernel quantizes pooled
     # tensors in its epilogue with the consumer head's calibrated scales
     # (recorded as pooled_box_scale / pooled_mask_scale during calibration)

@@ -76,12 +76,22 @@ def proposal_layer(
     # batched_multilevel_roi_align). Numerics identical: decode-then-gather
     # applies the same per-element math (proposals_tf.py:157 stddev scale
     # folds into the decode pass).
-    boxes_all = apply_box_deltas(
-        jnp.broadcast_to(anchors[None], (b, a, 4)), rpn_deltas * stddev
-    )
-    boxes_all = clip_boxes(boxes_all, jnp.array([0.0, 0.0, 1.0, 1.0]))
     flat_ix = ix + (jnp.arange(b, dtype=ix.dtype) * a)[:, None]
-    boxes = jnp.take(boxes_all.reshape(b * a, 4), flat_ix, axis=0)
+    if getattr(config, "proposal_decode_all", True):
+        boxes_all = apply_box_deltas(
+            jnp.broadcast_to(anchors[None], (b, a, 4)), rpn_deltas * stddev
+        )
+        boxes_all = clip_boxes(boxes_all, jnp.array([0.0, 0.0, 1.0, 1.0]))
+        boxes = jnp.take(boxes_all.reshape(b * a, 4), flat_ix, axis=0)
+    else:
+        # gather-then-decode (the r2 formulation): two gathers (deltas by
+        # flat index + anchors shared-operand) over pre_nms rows only
+        top_deltas = jnp.take(
+            (rpn_deltas * stddev).reshape(b * a, 4), flat_ix, axis=0
+        )
+        top_anchors = jnp.take(anchors, ix, axis=0)
+        boxes = apply_box_deltas(top_anchors, top_deltas)
+        boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
 
     def per_image(boxes_i, scores_i):
         # both top-k variants emit descending-score order → NMS skips sort
