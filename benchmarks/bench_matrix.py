@@ -56,6 +56,17 @@ MATRIX = {
     # full r2 recipe over gated flags (r2ish + r2 proposal formulation)
     "r2ish_prop": dict(per_channel_acts=False, int8_pooled=False,
                        int8_dot_lowering=False, proposal_decode_all=False),
+    # isolate each flag against the r2ish base (r4): per-channel alone /
+    # pooled alone / dot alone, and decode-all flipped on the no_dot combo.
+    "pc_only": dict(per_channel_acts=True, int8_pooled=False,
+                    int8_dot_lowering=False),
+    "pooled_only": dict(per_channel_acts=False, int8_pooled=True,
+                        int8_dot_lowering=False),
+    "dot_only": dict(per_channel_acts=False, int8_pooled=False,
+                     int8_dot_lowering=True),
+    "no_dot_no_decode_all": dict(per_channel_acts=True, int8_pooled=True,
+                                 int8_dot_lowering=False,
+                                 proposal_decode_all=False),
 }
 
 

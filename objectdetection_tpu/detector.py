@@ -348,6 +348,12 @@ def train_step(
     params = optax.apply_updates(state.params, updates)
     metrics = dict(parts)
     metrics["total_loss"] = loss
+    # per-head gradient norms: direct evidence a real gradient reaches each
+    # top-level subtree (backbone/RPN/box/mask). Loss magnitudes alone are
+    # weak evidence — e.g. mrcnn_box_loss is ~1e-5 at init with GT-appended
+    # proposals (ADVICE r3). Costs four fused reductions inside the step.
+    for head, sub in grads.items():
+        metrics[f"grad_norm/{head}"] = optax.global_norm(sub)
     new_state = TrainState(
         params=params,
         batch_stats=state.batch_stats,
