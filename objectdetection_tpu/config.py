@@ -147,12 +147,13 @@ class DetectorConfig:
     pallas_roi_align: str = "all"
     # Lower 1x1 stride-1 int8 convs at measured-win shapes as reshaped
     # dot_generals (quant._dot_lowering_wins). The per-op probe
-    # (benchmarks/one_by_one_probe.py) showed up to 2x wins, but in-context
-    # fusion/layout effects can differ — this gate exists so the lowering
-    # can be measured end-to-end (benchmarks/bench_matrix.py) and switched
-    # without code edits. Default reflects the latest end-to-end TPU
-    # measurement recorded in CLAUDE.md.
-    int8_dot_lowering: bool = True
+    # (benchmarks/one_by_one_probe.py) showed up to 2x wins, but END-TO-END
+    # the lowering is a catastrophic loss — bench_matrix r4: dot_only
+    # 594.4 ms/b96 vs r2ish 455.7 (+139 ms; the whole r3 regression) —
+    # in-context XLA layout/fusion around reshape→dot→reshape inverts the
+    # isolated-probe win. OFF; the gate stays so the matrix can re-measure
+    # if the lowering is ever reworked.
+    int8_dot_lowering: bool = False
     # Proposal-layer box decode order: True decodes ALL anchors in one
     # elementwise pass then gathers once (r3 formulation); False gathers
     # deltas+anchors for the pre-NMS top-k then decodes (r2 formulation).
