@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from objectdetection_tpu.ops.roi_align import batched_multilevel_roi_align
+from objectdetection_tpu.ops import roi_align_pallas as rap
 from objectdetection_tpu.ops.roi_align_pallas import (
     batched_multilevel_roi_align_pallas,
 )
@@ -52,11 +53,31 @@ def main():
     ]
     boxes = jnp.asarray(np.stack([np.asarray(boxes, np.float32)] * 2))
 
+    b, r = boxes.shape[:2]
+    heights = np.array([f.shape[1] for f in feats], np.int32)
+    widths = np.array([f.shape[2] for f in feats], np.int32)
     for pool in (7, 14):
         ref = np.asarray(
             batched_multilevel_roi_align(feats, boxes, IMAGE, (pool, pool)),
             np.float32,
         )
+        # Reroute-aware expectation: no_fit rows (pathological extents like
+        # the window-edge sliver) DELIBERATELY sample the full top level
+        # exactly instead of corner-clamping at their parity level (see
+        # roi_align_pallas._route_and_meta). Expect exact XLA sampling of
+        # the top map for those rows, XLA multilevel parity everywhere else.
+        rm = rap._route_and_meta(
+            boxes, IMAGE, heights, widths, pool, 2, b, r
+        )
+        no_fit = np.asarray(rm["no_fit"]).reshape(b, r)
+        ref_top = np.asarray(
+            batched_multilevel_roi_align(
+                feats[-1:], boxes, IMAGE, (pool, pool)
+            ),
+            np.float32,
+        )
+        ref = np.where(no_fit[..., None, None, None], ref_top, ref)
+        print(f"pool {pool}: no_fit rows = {int(no_fit.sum())}", flush=True)
         got = np.asarray(
             batched_multilevel_roi_align_pallas(
                 feats, boxes, IMAGE, (pool, pool)

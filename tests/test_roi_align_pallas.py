@@ -50,6 +50,7 @@ def _boxes():
         [0.3, 0.3, 0.3, 0.3],  # degenerate (zero area)
         [0.0, 0.0, 0.0, 0.0],  # zero padding
         [0.1, 0.2, 0.52, 0.62],  # bucket-edge large span
+        [0.55, 0.0, 0.55, 1.0],  # window-edge flat sliver (no_fit reroute)
     ]
     while len(boxes) % 8:
         boxes.append([0.0, 0.0, 0.0, 0.0])
@@ -67,16 +68,36 @@ class TestPallasRoiAlign:
 
     @pytest.mark.parametrize("pool", [7, 14])
     def test_matches_xla(self, pyramid, pool):
+        from objectdetection_tpu.ops import roi_align_pallas as rap
+
         boxes = _boxes()
-        ref = batched_multilevel_roi_align(
-            pyramid, boxes, IMAGE, (pool, pool)
+        b, r = boxes.shape[:2]
+        ref = np.asarray(
+            batched_multilevel_roi_align(pyramid, boxes, IMAGE, (pool, pool))
         )
+        # reroute-aware expectation: no_fit rows (the window-edge sliver)
+        # deliberately sample the full top level EXACTLY instead of corner-
+        # clamping at their parity level (_route_and_meta docstring); every
+        # other row must match the XLA multilevel path.
+        heights = np.array([f.shape[1] for f in pyramid], np.int32)
+        widths = np.array([f.shape[2] for f in pyramid], np.int32)
+        rm = rap._route_and_meta(
+            boxes, IMAGE, heights, widths, pool, 2, b, r
+        )
+        no_fit = np.asarray(rm["no_fit"]).reshape(b, r)
+        assert no_fit.sum() == 2  # one sliver per image
+        ref_top = np.asarray(
+            batched_multilevel_roi_align(
+                pyramid[-1:], boxes, IMAGE, (pool, pool)
+            )
+        )
+        ref = np.where(no_fit[..., None, None, None], ref_top, ref)
         got = batched_multilevel_roi_align_pallas(
             pyramid, boxes, IMAGE, (pool, pool), interpret=True
         )
         assert got.shape == ref.shape == (2, boxes.shape[1], pool, pool, C)
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+            np.asarray(got), ref, rtol=1e-4, atol=1e-4
         )
 
     def test_int8_out_matches_quantize_act(self, pyramid):
