@@ -100,6 +100,16 @@ def main():
         action="store_false",
     )
     p.add_argument(
+        "--int8-align-inputs", dest="int8_align_inputs", default=None,
+        action="store_true",
+        help="feed the align kernel the RPN's int8 P-levels "
+        "(cfg.int8_align_inputs — half the patch-DMA bytes)",
+    )
+    p.add_argument(
+        "--no-int8-align-inputs", dest="int8_align_inputs",
+        action="store_false",
+    )
+    p.add_argument(
         "--realistic",
         action="store_true",
         help="temper the RPN box-delta weights (x0.02) so proposal "
@@ -146,6 +156,8 @@ def main():
         cfg = cfg.replace(per_channel_acts=args.per_channel)
     if args.fused_bottleneck is not None:
         cfg = cfg.replace(fused_bottleneck=args.fused_bottleneck)
+    if args.int8_align_inputs is not None:
+        cfg = cfg.replace(int8_align_inputs=args.int8_align_inputs)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))

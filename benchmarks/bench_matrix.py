@@ -67,6 +67,14 @@ MATRIX = {
     "no_dot_no_decode_all": dict(per_channel_acts=True, int8_pooled=True,
                                  int8_dot_lowering=False,
                                  proposal_decode_all=False),
+    # r4: int8 ROIAlign inputs (the RPN's quantized P-levels feed the align
+    # kernel — halves patch-DMA bytes) on the current default combo
+    "int8_align_in": dict(per_channel_acts=True, int8_pooled=True,
+                          int8_dot_lowering=False, int8_align_inputs=True),
+    # and without per-channel (scalar in_scale fold)
+    "int8_align_in_no_pc": dict(per_channel_acts=False, int8_pooled=True,
+                                int8_dot_lowering=False,
+                                int8_align_inputs=True),
 }
 
 

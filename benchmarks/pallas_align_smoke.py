@@ -113,6 +113,46 @@ def main():
         bad = int((got8 != want).sum())
         print(f"pool {pool}: int8 mismatched codes = {bad}", flush=True)
         assert bad == 0, "int8 epilogue parity failed"
+
+        # --- int8 INPUTS (cfg.int8_align_inputs): quantized pyramid in,
+        # deferred-dequant epilogue; patch DMAs at 1 B/elt. Expectation is
+        # the kernel's own bf16 run over the DEQUANTIZED features
+        # (tolerance: bf16 blend rounding; inputs differ by quant error
+        # from `feats`, so compare against deq, not feats).
+        from objectdetection_tpu.quant import dequantize_act, quantize_act
+
+        s_in = jnp.float32(4.0)
+        feats8 = [quantize_act(f, s_in) for f in feats]
+        deq = [dequantize_act(f8, s_in, jnp.bfloat16) for f8 in feats8]
+        want_f = np.asarray(
+            batched_multilevel_roi_align_pallas(
+                deq, boxes, IMAGE, (pool, pool)
+            ),
+            np.float32,
+        )
+        got_f = np.asarray(
+            batched_multilevel_roi_align_pallas(
+                feats8, boxes, IMAGE, (pool, pool), in_scale=s_in
+            ),
+            np.float32,
+        )
+        err8 = np.max(np.abs(got_f - want_f))
+        print(f"pool {pool}: int8-in float max err = {err8:.5f}", flush=True)
+        assert err8 < 0.05, "int8-in parity failed"
+        got88 = np.asarray(
+            batched_multilevel_roi_align_pallas(
+                feats8, boxes, IMAGE, (pool, pool), in_scale=s_in,
+                out_quant=scale_map,
+            ),
+            np.int32,
+        )
+        want88 = np.clip(
+            np.round(got_f * inv[None, None]), -128, 127
+        ).astype(np.int32)
+        dmax = int(np.abs(got88 - want88).max())
+        print(f"pool {pool}: int8-in int8-out max code delta = {dmax}",
+              flush=True)
+        assert dmax <= 1, "int8-in int8-out parity failed"
     print("pallas align smoke OK", flush=True)
 
 

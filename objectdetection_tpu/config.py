@@ -169,6 +169,16 @@ class DetectorConfig:
     # unfused quantize (parity-tested); active only where the Pallas
     # kernel runs (TPU serving).
     int8_pooled: bool = True
+    # int8 ROIAlign INPUTS: the Pallas align kernel reads the int8 copies
+    # of P2..P5 the RPN's shared conv quantizes anyway (one shared act
+    # scale; RPNHead return_quantized_inputs), instead of the bf16
+    # pyramid. Halves the kernel's patch-DMA bytes — its measured bound on
+    # the box stage — at zero extra quantize passes; the s_in dequant
+    # folds into the kernel's epilogue map. Requires quantize_rpn; the XLA
+    # fallback and calibration keep the float pyramid. Tolerance-level
+    # numerics vs aligning the dequantized features (not bit-exact).
+    # OFF by default until TPU-measured (bench_matrix rule, CLAUDE.md).
+    int8_align_inputs: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

@@ -77,13 +77,27 @@ def forward_inference(
     model = build_model(config)
     anchors = jnp.asarray(config_anchors(config))  # trace-time constant
 
-    feats, rpn_logits, rpn_probs, rpn_deltas = model.apply(
-        variables, images, method=model.extract
+    # int8_align_inputs: also pull the int8 P-levels the RPN quantized so
+    # the Pallas align kernel DMAs 1 B/elt patches (see config gate)
+    want_q = (
+        config.int8_align_inputs
+        and config.quantized_inference
+        and config.quantize_rpn
     )
+    if want_q:
+        feats, rpn_logits, rpn_probs, rpn_deltas, qfeats = model.apply(
+            variables, images, True, method=model.extract
+        )
+    else:
+        feats, rpn_logits, rpn_probs, rpn_deltas = model.apply(
+            variables, images, method=model.extract
+        )
+        qfeats = None
     proposals = proposal_layer(rpn_probs, rpn_deltas, anchors, config, training=False)
 
     _, cls_probs, bbox = model.apply(
-        variables, feats, proposals, True, method=model.classify_rois
+        variables, feats, proposals, True, qfeats,
+        method=model.classify_rois,
     )
 
     norm_windows = norm_boxes(windows, config.image_shape[:2])
@@ -97,7 +111,8 @@ def forward_inference(
         # (equivalent to full-class prediction + take_along_axis, without
         # materializing the [B, N, 28, 28, num_classes] tensor)
         masks = model.apply(
-            variables, feats, det_boxes, cls, True, method=model.predict_masks
+            variables, feats, det_boxes, cls, True, qfeats,
+            method=model.predict_masks,
         )
 
     result = Detections(

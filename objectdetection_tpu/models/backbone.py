@@ -148,7 +148,7 @@ class BottleneckBlock(nn.Module):
     # the carried stream's out_scale becomes a [C3] vector
     per_channel: bool = False
     # lower measured-win 1x1 int8 convs as dots (config.int8_dot_lowering)
-    dot_lowering: bool = True
+    dot_lowering: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -374,7 +374,7 @@ class ResNetBottomUp(nn.Module):
     s2d_stage2: bool = False  # run stage 2 in the 2x2-blocked basis
     fused_bottleneck: bool = False  # Pallas fused int8 identity blocks
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
-    dot_lowering: bool = True  # config.int8_dot_lowering
+    dot_lowering: bool = False  # config.int8_dot_lowering
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -492,7 +492,7 @@ class ResNetFPN(nn.Module):
     # otherwise-int8 path (config.quantize_fpn_p2=False): P2 feeds most
     # mask ROIAlign samples
     quantize_p2: bool = True
-    dot_lowering: bool = True  # config.int8_dot_lowering
+    dot_lowering: bool = False  # config.int8_dot_lowering
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:

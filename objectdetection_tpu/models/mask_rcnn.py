@@ -85,24 +85,41 @@ class MaskRCNN(nn.Module):
                 lambda: jnp.zeros(mask_shape, jnp.float32),
             )
 
-    def extract(self, images: Array):
-        """images [B, H, W, 3] → (pyramid P2..P6, rpn logits/probs/deltas)."""
+    def extract(self, images: Array, return_qfeats: bool = False):
+        """images [B, H, W, 3] → (pyramid P2..P6, rpn logits/probs/deltas).
+
+        `return_qfeats` appends ``(int8 P2..P5 list, scale) | None``: the
+        quantized copies of the pyramid the RPN's shared conv computes
+        anyway on the int8 serving path (config.int8_align_inputs — the
+        ROIAlign kernel reads them at half the bf16 patch-DMA bytes).
+        """
         if self.config.input_scale != 1.0:
             images = images * self.config.input_scale
         feats = self.backbone(images)
+        if return_qfeats:
+            logits, probs, deltas, q = self.rpn(
+                feats, return_quantized_inputs=True
+            )
+            if q is not None:
+                q = (q[0][:4], q[1])  # align reads P2..P5 only
+            return feats, logits, probs, deltas, q
         logits, probs, deltas = self.rpn(feats)
         return feats, logits, probs, deltas
 
     def _roi_align(
         self, feats, rois, crop_size, use_pallas: bool, stage: str,
-        out_quant=None,
+        out_quant=None, qfeats=None,
     ):
         """Pooling dispatch: Pallas patch-DMA kernel on the inference path
         (TPU, big-enough pyramids, stage enabled in cfg.pallas_roi_align),
         XLA gather otherwise (training — the Pallas call has no JVP — CPU,
         and small images). `out_quant` (a [ph, pw, C] scale map) makes the
         Pallas kernel emit int8 pooled tensors directly; the XLA path
-        ignores it (its consumers quantize internally as before)."""
+        ignores it (its consumers quantize internally as before).
+        `qfeats` = (int8 P2..P5, scale): when given (and the gate
+        cfg.int8_align_inputs is on) the Pallas kernel reads the int8
+        pyramid instead — half the patch-DMA bytes; the XLA fallback keeps
+        the float feats."""
         cfg = self.config
         feats = list(feats[:4])
         stage_on = cfg.pallas_roi_align == "all" or cfg.pallas_roi_align == stage
@@ -112,16 +129,20 @@ class MaskRCNN(nn.Module):
             and jax.default_backend() == "tpu"
             and pallas_roi_align_supported(feats)
         ):
+            in_scale = None
+            if qfeats is not None and cfg.int8_align_inputs:
+                feats, in_scale = list(qfeats[0][:4]), qfeats[1]
             return batched_multilevel_roi_align_pallas(
                 feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size),
-                out_quant=out_quant,
+                out_quant=out_quant, in_scale=in_scale,
             )
         return batched_multilevel_roi_align(
             feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size)
         )
 
     def classify_rois(
-        self, feats: Sequence[Array], rois: Array, use_pallas: bool = False
+        self, feats: Sequence[Array], rois: Array, use_pallas: bool = False,
+        qfeats=None,
     ):
         """ROIAlign + box/class head: rois [B, R, 4] → (logits, probs, bbox)."""
         cfg = self.config
@@ -142,7 +163,7 @@ class MaskRCNN(nn.Module):
             out_quant = s.reshape(ph, pw, c)
         pooled = self._roi_align(
             feats, rois, cfg.pool_shape, use_pallas, "boxes",
-            out_quant=out_quant,
+            out_quant=out_quant, qfeats=qfeats,
         )
         if cfg.quantized_inference and calibrating:
             # record the pooled-ROI absmax — the identical statistic the
@@ -169,6 +190,7 @@ class MaskRCNN(nn.Module):
         rois: Array,
         class_ids: Array | None = None,
         use_pallas: bool = False,
+        qfeats=None,
     ) -> Array:
         """ROIAlign 14² + mask head: rois [B, R, 4] → [B, R, 28, 28, C].
 
@@ -193,7 +215,7 @@ class MaskRCNN(nn.Module):
             )
         pooled = self._roi_align(
             feats, rois, cfg.mask_pool_shape, use_pallas, "masks",
-            out_quant=out_quant,
+            out_quant=out_quant, qfeats=qfeats,
         )
         if cfg.quantized_inference and calibrating:
             # same statistic as the mask trunk conv1's act_scale (per input

@@ -32,7 +32,11 @@ class RPNHead(nn.Module):
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
 
     @nn.compact
-    def __call__(self, feature_maps: Sequence[Array]) -> Tuple[Array, Array, Array]:
+    def __call__(
+        self,
+        feature_maps: Sequence[Array],
+        return_quantized_inputs: bool = False,
+    ):
         """[B, H_l, W_l, C] per level → (logits, probs, deltas) over all anchors.
 
         Returns logits [B, A, 2], probs [B, A, 2], deltas [B, A, 4] with
@@ -40,6 +44,14 @@ class RPNHead(nn.Module):
 
         When quantized, each shared-weight conv also shares ONE activation
         scale across levels (calibration max-reduces over all level calls).
+
+        `return_quantized_inputs` (int8 inference path only) appends a
+        fourth output ``(x8_levels, scale)``: the int8 copies of the input
+        P-levels the shared conv quantized anyway (one shared act scale —
+        scalar, or [C] with per-channel acts). The ROIAlign kernel reads
+        these instead of the bf16 pyramid (config.int8_align_inputs),
+        halving its patch-DMA bytes at zero extra quantize passes. On the
+        calibration/float path the fourth output is ``None``.
         """
         k = self.anchors_per_location
         s = self.anchor_stride
@@ -108,8 +120,15 @@ class RPNHead(nn.Module):
 
         logits_all: List[Array] = []
         deltas_all: List[Array] = []
+        x8_levels: List[Array] = []
+        in_scale = None
         for fm in feature_maps:
-            shared = nn.relu(shared_conv(fm))
+            if int8_infer and return_quantized_inputs:
+                y, (x8, in_scale) = shared_conv(fm, return_x8=True)
+                shared = nn.relu(y)
+                x8_levels.append(x8)
+            else:
+                shared = nn.relu(shared_conv(fm))
             b = shared.shape[0]
             if int8_infer:
                 from objectdetection_tpu.quant import int8_conv
@@ -133,4 +152,7 @@ class RPNHead(nn.Module):
         logits = jnp.concatenate(logits_all, axis=1).astype(jnp.float32)
         deltas = jnp.concatenate(deltas_all, axis=1).astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
+        if return_quantized_inputs:
+            q = (x8_levels, in_scale) if int8_infer else None
+            return logits, probs, deltas, q
         return logits, probs, deltas

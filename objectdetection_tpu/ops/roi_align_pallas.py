@@ -107,7 +107,9 @@ def _kernel(
     xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0w | unused (patch-relative)
     wx_ref,  # SMEM f32 [K, 1, pool]: adjusted x lerp weights (scalar reads)
     geom_ref,  # VMEM f32 [K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
-    qinv_ref,  # VMEM f32 [pool, pool*C]: 127/scale map (int8 out) or [1, 1]
+    post_ref,  # VMEM f32 [pool, pool*C] epilogue multiply map — 127/s_out
+    # (int8 out), s_in/127 (int8 in, float out), s_in/s_out (both) — or
+    # [1, 1] when unused (float in, float out)
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
     out_ref,  # VMEM [K, pool, pool*C]
     *scratch,
@@ -117,6 +119,7 @@ def _kernel(
     level_dims,
     compute_dtype,
     quantize_out: bool,
+    int8_in: bool,
 ):
     bufs, b_top, state_ref, xb_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
@@ -231,6 +234,11 @@ def _kernel(
                     x0 = xint_ref[j, 0, q]
                     wq = wx_ref[j, 0, q]  # scalar (adjusted weight)
                     a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
+                    if int8_in:
+                        # int8 patches: blend the RAW codes (ints <= 128 are
+                        # exact in bf16); the s_in/127 dequant is linear so
+                        # it rides the post map after the y-matmul instead.
+                        a = a.astype(compute_dtype)
                     v0 = a[:, 0:chans]
                     v1 = a[:, chans : 2 * chans]
                     xb_ref[0:py, q * chans : (q + 1) * chans] = (
@@ -259,15 +267,22 @@ def _kernel(
                 )  # [pool, pool*C]
                 if quantize_out:
                     # int8 epilogue: quantize with the consumer head's
-                    # calibrated scales (pre-inverted on the host). The
-                    # bf16 round-trip first reproduces the XLA path's
-                    # pooled-tensor dtype, so int8 codes match the
+                    # calibrated scales (pre-inverted on the host; with
+                    # int8 inputs the map also carries the s_in dequant:
+                    # round(codes * s_in/s_out)). The bf16 round-trip first
+                    # reproduces the XLA path's pooled-tensor dtype, so for
+                    # float inputs int8 codes match the
                     # quantize_act(pooled_bf16) result bit-for-bit.
                     v = out.astype(compute_dtype).astype(jnp.float32)
                     q = jnp.clip(
-                        jnp.round(v * qinv_ref[:, :]), -128.0, 127.0
+                        jnp.round(v * post_ref[:, :]), -128.0, 127.0
                     )
                     out_ref[j, :, :] = q.astype(jnp.int8)
+                elif int8_in:
+                    # float output of int8 inputs: deferred dequant
+                    out_ref[j, :, :] = (out * post_ref[:, :]).astype(
+                        out_ref.dtype
+                    )
                 else:
                     out_ref[j, :, :] = out.astype(out_ref.dtype)
 
@@ -489,6 +504,7 @@ def batched_multilevel_roi_align_pallas(
     interpret: bool = False,
     k_rois: int | None = None,
     out_quant: Array | None = None,
+    in_scale: Array | None = None,
 ) -> Array:
     """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
 
@@ -504,6 +520,16 @@ def batched_multilevel_roi_align_pallas(
     (per-position map; broadcast a scalar/per-channel scale before the
     call). Skips the separate multi-GB quantize pass XLA cannot fuse into
     the opaque pallas_call.
+
+    `in_scale`: when given, `features` are int8 activations quantized with
+    this scale (scalar or per-channel [C] — e.g. the P-levels the RPN's
+    shared conv already quantized, config.int8_align_inputs). Patches DMA
+    at 1 B/elt — HALF the bf16 bytes on the patch-DMA-bound box stage —
+    and the kernel blends the raw codes (exact in bf16), deferring the
+    linear s_in/127 dequant to the epilogue map: s_in/127 for float
+    output, s_in/s_out folded with `out_quant` for int8 output. Numerics
+    match aligning the dequantized features up to bf16 blend rounding
+    (tolerance-tested, not bit-exact).
     """
     features = list(features)
     b, _, _, c = features[0].shape
@@ -551,13 +577,24 @@ def batched_multilevel_roi_align_pallas(
     meta_next = meta_next[:, None, :]
 
     dt = features[0].dtype
+    int8_in = in_scale is not None
+    if int8_in:
+        assert dt == jnp.int8, "in_scale given but features are not int8"
+        s_in = jnp.asarray(in_scale, jnp.float32).reshape(-1)  # [1] or [C]
+        s_in_c = jnp.broadcast_to(s_in, (c,)) if s_in.shape[0] != c else s_in
+        tile_in = jnp.tile(s_in_c, pool).reshape(1, pool * c)
+    compute_dt = jnp.bfloat16 if int8_in else dt
     quantize_out = out_quant is not None
     if quantize_out:
         s = out_quant.astype(jnp.float32).reshape(pool, pool * c)
-        qinv = jnp.where(s > 0, 127.0 / jnp.maximum(s, 1e-30), 0.0)
+        post = jnp.where(s > 0, 127.0 / jnp.maximum(s, 1e-30), 0.0)
+        if int8_in:  # codes_out = round(codes_in-pooled * s_in/s_out)
+            post = post * (tile_in / 127.0)
+    elif int8_in:
+        post = jnp.broadcast_to(tile_in / 127.0, (pool, pool * c))
     else:
-        qinv = jnp.zeros((1, 1), jnp.float32)
-    out_dt = jnp.int8 if quantize_out else dt
+        post = jnp.zeros((1, 1), jnp.float32)
+    out_dt = jnp.int8 if quantize_out else compute_dt
     feat_views = [
         f.reshape(f.shape[0], f.shape[1], f.shape[2] * c) for f in features
     ]
@@ -583,7 +620,7 @@ def batched_multilevel_roi_align_pallas(
                 (k_r, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((k_r, pool, 4), lambda g: (g, 0, 0)),
-            pl.BlockSpec(qinv.shape, lambda g: (0, 0)),
+            pl.BlockSpec(post.shape, lambda g: (0, 0)),
             *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
         ],
         out_specs=pl.BlockSpec(
@@ -597,7 +634,7 @@ def batched_multilevel_roi_align_pallas(
             ),  # cached top level (single slot)
             pltpu.SMEM((1,), jnp.int32),  # image id cached in b_top
             # x-blended patch columns [py, pool*C] (largest py of any class)
-            pltpu.VMEM((max(py for py, _ in classes), pool * c), dt),
+            pltpu.VMEM((max(py for py, _ in classes), pool * c), compute_dt),
             pltpu.SemaphoreType.DMA((2, k_r)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -607,11 +644,12 @@ def batched_multilevel_roi_align_pallas(
     # K needs it (the xla_tpu_scoped_vmem_limit_kib flag must allow it —
     # bench.py/cli set it; v5e has 128MB VMEM/core)
     itemsize = np.dtype(dt).itemsize
+    citemsize = np.dtype(compute_dt).itemsize
     scratch_bytes = (
         2 * k_r * max_py * max_px * c * itemsize  # bufs
         + classes[-1][0] * classes[-1][1] * c * itemsize  # b_top
-        + max_py * pool * c * itemsize  # xb (x-blended patch)
-        + 3 * k_r * pool * c * itemsize  # in/out blocks (approx)
+        + max_py * pool * c * citemsize  # xb (x-blended patch)
+        + 3 * k_r * pool * c * citemsize  # in/out blocks (approx)
     )
     vmem_limit = max(16 * 1024 * 1024, scratch_bytes + 8 * 1024 * 1024)
     out = pl.pallas_call(
@@ -621,8 +659,9 @@ def batched_multilevel_roi_align_pallas(
             chans=c,
             classes=classes,
             level_dims=tuple(zip(heights.tolist(), widths.tolist())),
-            compute_dtype=dt,
+            compute_dtype=compute_dt,
             quantize_out=quantize_out,
+            int8_in=int8_in,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), out_dt),
@@ -634,20 +673,27 @@ def batched_multilevel_roi_align_pallas(
         xint_arr,
         wx_arr,
         geom_arr,
-        qinv,
+        post,
         *feat_views,
     )
     out = out[:n].reshape(b, r, pool, pool, c)
     # exact zero-box value: bilinear at (0, 0) of the finest level (the
     # roi_levels parity rule) == that level's corner feature, replicated
-    p2_corner = features[0][:, 0, 0, :]  # [B, C]
+    p2_corner = features[0][:, 0, 0, :]  # [B, C] (raw codes when int8_in)
     if quantize_out:
         # quantize the replicated corner with the same per-position map the
-        # kernel applies (bf16 round-trip included via the feature dtype)
-        v = p2_corner.astype(jnp.float32)[:, None, None, :] * qinv.reshape(
+        # kernel applies (the map already folds the s_in dequant when the
+        # inputs are int8; bf16 round-trip included via the feature dtype)
+        v = p2_corner.astype(jnp.float32)[:, None, None, :] * post.reshape(
             pool, pool, c
         )[None]
         fill = jnp.clip(jnp.round(v), -128.0, 127.0).astype(jnp.int8)
+    elif int8_in:
+        # dequantized corner via the same s_in/127 map the kernel applies
+        fill = (
+            p2_corner.astype(jnp.float32)[:, None, None, :]
+            * post.reshape(pool, pool, c)[None]
+        ).astype(out.dtype)
     else:
         fill = jnp.broadcast_to(
             p2_corner.astype(out.dtype)[:, None, None, :],

@@ -67,7 +67,7 @@ def _dot_lowering_wins(cin: int, cout: int) -> bool:
 
 
 def int8_conv(
-    x8: Array, k8: Array, strides, padding, dot_lowering: bool = True
+    x8: Array, k8: Array, strides, padding, dot_lowering: bool = False
 ) -> Array:
     """The int8 conv, backend-dispatched.
 
@@ -194,10 +194,15 @@ class QuantConv(nn.Module):
     # float-head ablations recover ~nothing, see benchmarks/int8_accuracy).
     per_channel: bool = False
     # lower measured-win 1x1 shapes as reshaped dots (config.int8_dot_lowering)
-    dot_lowering: bool = True
+    dot_lowering: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, in_scale: Array | None = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        in_scale: Array | None = None,
+        return_x8: bool = False,
+    ) -> Array:
         """Apply the conv.
 
         Args:
@@ -206,6 +211,12 @@ class QuantConv(nn.Module):
             (the int8-carried residual stream of the ResNet stages; avoids a
             separate requantize kernel and a bf16 materialization).
           in_scale: activation scale of a pre-quantized int8 `x`.
+          return_x8: on the int8 inference path, also return the quantized
+            input as ``(y, (x8, scale))`` so other consumers of the same
+            tensor (e.g. the ROIAlign kernel reading the P-levels the RPN
+            already quantized — config.int8_align_inputs) can share it
+            instead of re-reading the bf16 original. Inference-only: the
+            calibration path has no int8 input to share.
         """
         kh, kw = self.kernel_size
         cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
@@ -253,8 +264,10 @@ class QuantConv(nn.Module):
         else:
             xk = xc = lambda v: v
 
+        x8_out = None  # (x8, scale) when return_x8 on the int8 path
         if self.is_mutable_collection("quant"):
             # --- calibration: exact float forward + absmax recording ---
+            assert not return_x8, "return_x8 is inference-only"
             assert kernel.dtype != jnp.int8, (
                 "calibrate before quant.freeze_weights, not after"
             )
@@ -313,13 +326,16 @@ class QuantConv(nn.Module):
                     )
                     k8, sw = weight_qparams(k_eff)
                 post = xc(sw)
+                x8_out = (x8, scale_in)
             else:
                 if in_scale is not None:
                     sx = in_scale / ACT_QMAX
                     x8 = x  # already int8 on the carried residual stream
+                    x8_out = (x8, in_scale)
                 else:
                     sx = act_scale.value / ACT_QMAX
                     x8 = quantize_act(x, act_scale.value)
+                    x8_out = (x8, act_scale.value)
                 if kernel.dtype == jnp.int8:  # frozen offline
                     k8, sw = kernel, kernel_scale.value
                 else:
@@ -333,6 +349,8 @@ class QuantConv(nn.Module):
             y = y.astype(self.dtype)
         if bias is not None:
             y = y + xc(bias).astype(self.dtype)
+        if return_x8:
+            return y, x8_out
         return y
 
 
@@ -494,7 +512,7 @@ class S2DConv(nn.Module):
         return y + jnp.tile(bias, 4).astype(self.dtype)
 
 
-def conv_factory(quantized: bool, dtype: Any, dot_lowering: bool = True):
+def conv_factory(quantized: bool, dtype: Any, dot_lowering: bool = False):
     """Returns a `(features, kernel, strides, padding, name) -> Module`
     constructor: ``nn.Conv`` normally, :class:`QuantConv` when quantized,
     and the blocked-basis variants with ``s2d=True``.

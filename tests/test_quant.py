@@ -401,6 +401,50 @@ class TestEndToEndQuantized:
         nz = int(det_z.valid.sum())
         assert abs(nq - nz) <= 2, (nq, nz)
 
+    def test_int8_align_inputs_plumbing(self, setup):
+        """cfg.int8_align_inputs (the Pallas align kernel reads the RPN's
+        int8 P-levels): extract's qfeats are exactly quantize_act of the
+        pyramid with the RPN shared conv's act scale, and the CPU/XLA
+        fallback path's detections are untouched by the gate."""
+        cfg_q, variables, imgs, windows = setup
+        from objectdetection_tpu.quant import freeze_weights, quantize_act
+
+        fz = freeze_weights(variables)
+        cfg_g = cfg_q.replace(int8_align_inputs=True)
+        model = detector.build_model(cfg_g)
+        feats, _, _, _, q = model.apply(
+            fz, imgs, True, method=model.extract
+        )
+        assert q is not None
+        x8s, scale = q
+        assert len(x8s) == 4
+        assert all(x.dtype == jnp.int8 for x in x8s)
+        np.testing.assert_allclose(
+            np.asarray(scale, np.float32),
+            np.asarray(
+                fz["quant"]["rpn_model"]["rpn_conv_shared"]["act_scale"],
+                np.float32,
+            ),
+        )
+        for fm, x8 in zip(feats, x8s):
+            np.testing.assert_array_equal(
+                np.asarray(x8), np.asarray(quantize_act(fm, scale))
+            )
+        # end-to-end off-TPU: the gate must be a no-op (XLA align fallback
+        # ignores qfeats), so detections are bit-identical
+        det_on = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_g)
+        )(fz, imgs, windows)
+        det_off = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_q)
+        )(fz, imgs, windows)
+        np.testing.assert_array_equal(
+            np.asarray(det_on.boxes), np.asarray(det_off.boxes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(det_on.scores), np.asarray(det_off.scores)
+        )
+
     def test_per_channel_end_to_end(self, setup):
         """per_channel_acts: calibrate → freeze → infer stays close to the
         same variables' per-tensor int8 detections (the per-channel tree is

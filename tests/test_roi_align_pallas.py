@@ -140,6 +140,70 @@ class TestPallasRoiAlign:
             atol=2e-2,
         )
 
+    @pytest.mark.parametrize("per_channel", [False, True])
+    def test_int8_inputs_match_dequantized_align(self, pyramid, per_channel):
+        # cfg.int8_align_inputs: int8 features + in_scale must reproduce
+        # aligning the DEQUANTIZED features (the bf16 path the XLA fallback
+        # takes) up to bf16 blend rounding. Covers scalar and per-channel
+        # input scales; uses the first 16 boxes (includes zero rows).
+        from objectdetection_tpu.quant import dequantize_act, quantize_act
+
+        boxes = _boxes()[:, :16]
+        rng = np.random.RandomState(5)
+        if per_channel:
+            scale = jnp.asarray(rng.rand(C).astype(np.float32) * 3.0 + 0.5)
+        else:
+            scale = jnp.float32(2.7)
+        feats8 = [quantize_act(f, scale) for f in pyramid]
+        deq16 = [
+            dequantize_act(f8, scale, jnp.bfloat16) for f8 in feats8
+        ]
+        ref = batched_multilevel_roi_align_pallas(
+            deq16, boxes, IMAGE, (7, 7), interpret=True
+        )
+        got = batched_multilevel_roi_align_pallas(
+            feats8, boxes, IMAGE, (7, 7), interpret=True, in_scale=scale
+        )
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=2e-2,
+            atol=2e-2 * float(jnp.max(scale)),
+        )
+
+    def test_int8_inputs_int8_out_codes(self, pyramid):
+        # int8 in AND int8 out: codes must equal round(codes_pooled *
+        # s_in/s_out) of the kernel's own raw-code pooling — i.e. quantizing
+        # the kernel's float output (int8-in path) with the out map, within
+        # one code of the fold (the fused map multiplies once where the
+        # two-step path rounds twice).
+        from objectdetection_tpu.quant import quantize_act
+
+        boxes = _boxes()[:, :16]
+        pool = 7
+        scale_in = jnp.float32(2.7)
+        feats8 = [quantize_act(f, scale_in) for f in pyramid]
+        rng = np.random.RandomState(7)
+        scale_map = jnp.asarray(
+            rng.rand(pool, pool, C).astype(np.float32) * 5.0 + 0.1
+        )
+        ref_f = batched_multilevel_roi_align_pallas(
+            feats8, boxes, IMAGE, (pool, pool), interpret=True,
+            in_scale=scale_in,
+        )
+        want = jnp.clip(
+            jnp.round(ref_f.astype(jnp.float32) * (127.0 / scale_map)),
+            -128.0, 127.0,
+        ).astype(jnp.int32)
+        got = batched_multilevel_roi_align_pallas(
+            feats8, boxes, IMAGE, (pool, pool), interpret=True,
+            in_scale=scale_in, out_quant=scale_map,
+        )
+        assert got.dtype == jnp.int8
+        diff = np.abs(np.asarray(got, np.int32) - np.asarray(want))
+        assert diff.max() <= 1
+
 
 class TestNoFitReroute:
     """Pins the no_fit coarse-level reroute (ADVICE r2): pathological
