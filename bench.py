@@ -267,19 +267,48 @@ def main():
     float(jnp.sum(images) + jnp.sum(windows))
     print(f"input transfer+sync: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # Split cold-start into trace / compile / first-execute so a warm
+    # persistent-cache run attributes its time honestly (VERDICT r3 #8:
+    # the earlier combined number couldn't distinguish a cache hit whose
+    # cost is relay program-load from a silent cache miss).
     t0 = time.time()
-    float(run(variables, images, windows, jnp.int32(1)))
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    lowered = run.lower(variables, images, windows, jnp.int32(1))
+    print(f"trace+lower: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    print(
+        f"compile (persistent-cache hit if small): {t_compile:.1f}s",
+        file=sys.stderr,
+    )
+    try:
+        ma = compiled.memory_analysis()
+        print(
+            "program: "
+            f"code {ma.generated_code_size_in_bytes / 1e6:.0f}MB, "
+            f"argument {ma.argument_size_in_bytes / 1e9:.2f}GB, "
+            f"temp {ma.temp_size_in_bytes / 1e9:.2f}GB",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
+
+    t0 = time.time()
+    float(compiled(variables, images, windows, jnp.int32(1)))
+    print(
+        f"first run (program load+dispatch+exec): {time.time() - t0:.1f}s",
+        file=sys.stderr,
+    )
 
     for _ in range(args.warmup):
-        float(run(variables, images, windows, jnp.int32(1)))
+        float(compiled(variables, images, windows, jnp.int32(1)))
 
     t0 = time.time()
-    float(run(variables, images, windows, jnp.int32(1)))
+    float(compiled(variables, images, windows, jnp.int32(1)))
     t_one = time.time() - t0
 
     t0 = time.time()
-    float(run(variables, images, windows, jnp.int32(1 + args.iters)))
+    float(compiled(variables, images, windows, jnp.int32(1 + args.iters)))
     t_many = time.time() - t0
 
     dt = max(t_many - t_one, 1e-9)
