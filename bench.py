@@ -110,6 +110,16 @@ def main():
         action="store_false",
     )
     p.add_argument(
+        "--int8-stem", dest="int8_stem", default=None,
+        action="store_true",
+        help="int8 conv1 (cfg.int8_stem; the int32 output + unfused "
+        "dequant cost ~13 GB/b96 of HBM traffic)",
+    )
+    p.add_argument(
+        "--no-int8-stem", dest="int8_stem", action="store_false",
+        help="bf16 conv1 with the dequantized int8 kernel",
+    )
+    p.add_argument(
         "--realistic",
         action="store_true",
         help="temper the RPN box-delta weights (x0.02) so proposal "
@@ -158,6 +168,8 @@ def main():
         cfg = cfg.replace(fused_bottleneck=args.fused_bottleneck)
     if args.int8_align_inputs is not None:
         cfg = cfg.replace(int8_align_inputs=args.int8_align_inputs)
+    if args.int8_stem is not None:
+        cfg = cfg.replace(int8_stem=args.int8_stem)
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     variables = detector.init_variables(cfg, jax.random.PRNGKey(0))

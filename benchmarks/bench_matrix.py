@@ -75,6 +75,11 @@ MATRIX = {
     "int8_align_in_no_pc": dict(per_channel_acts=False, int8_pooled=True,
                                 int8_dot_lowering=False,
                                 int8_align_inputs=True),
+    # r4: bf16 stem (cfg.int8_stem=False) on the current default combo —
+    # the int8 stem's int32 output + unfused dequant is ~13 GB/b96 of HBM
+    # traffic for MXU-starved (cin=3) compute
+    "bf16_stem": dict(per_channel_acts=True, int8_pooled=True,
+                      int8_dot_lowering=False, int8_stem=False),
 }
 
 

@@ -179,6 +179,15 @@ class DetectorConfig:
     # numerics vs aligning the dequantized features (not bit-exact).
     # OFF by default until TPU-measured (bench_matrix rule, CLAUDE.md).
     int8_align_inputs: bool = False
+    # int8 stem compute. True: conv1 runs int8 — but its int32 output
+    # ([B,512²,64] = 6.4 GB/b96) plus the unfused dequant pass is ~13 GB of
+    # extra HBM traffic on a conv whose compute is trivial either way
+    # (cin=3 starves the MXU; audit: stem 27.6 ms vs 9.2 memory roofline).
+    # False: serve conv1 in bf16 with the DEQUANTIZED int8 kernel — same
+    # quantized weights (frozen artifacts load unchanged, calibration
+    # identical), no act-quant error, no int32 materialization. Kept True
+    # pending a bench_matrix row (measure-before-default rule, CLAUDE.md).
+    int8_stem: bool = True
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

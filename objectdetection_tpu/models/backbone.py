@@ -274,11 +274,20 @@ class Stage1Conv(nn.Module):
     `space_to_depth=True` runs the MXU-friendly equivalent: the 7x7 kernel
     zero-padded to 8x8 and regrouped as a stride-1 4x4 conv over
     2x2-blocked input. Parameter layout is identical in both modes.
+
+    `int8_compute=False` (config.int8_stem gate) keeps the quant variables
+    and calibration identical but serves the conv in bf16 with the
+    DEQUANTIZED int8 kernel: the int8 path materializes a [B,512²,64]
+    int32 conv output plus a separate dequant pass (conv epilogues do not
+    fuse on this backend — benchmarks/backbone_audit.py microprobes),
+    ~13 GB/b96 of extra HBM traffic on a compute-trivial conv (cin=3
+    starves the MXU either way). Frozen artifacts load unchanged.
     """
 
     space_to_depth: bool = False
     dtype: Any = jnp.float32
     quantized: bool = False
+    int8_compute: bool = True
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -305,6 +314,23 @@ class Stage1Conv(nn.Module):
 
         if not self.space_to_depth or h % 2 or w % 2:
             if self.quantized and not self.is_mutable_collection("quant"):
+                if not self.int8_compute:
+                    # bf16 stem (config.int8_stem=False): same quantized
+                    # WEIGHTS (int8-rounded, so frozen/unfrozen agree) but
+                    # bf16 activations and a bf16 conv output — skips the
+                    # act-quantize pass, the int32 materialization, and the
+                    # unfused dequant pass of the int8 path.
+                    if frozen:
+                        k = kernel.astype(jnp.float32) * kernel_scale.value
+                    else:
+                        k8, sw = weight_qparams(kernel)
+                        k = k8.astype(jnp.float32) * sw
+                    y = jax.lax.conv_general_dilated(
+                        x, k.astype(dt), window_strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    return y + bias.astype(dt)
                 # int8 stem: mean-subtracted pixels are naturally int8-ranged.
                 # Quantize from the float32 param (NOT a dt-cast copy) so the
                 # result is bit-identical to quant.freeze_weights.
@@ -375,6 +401,7 @@ class ResNetBottomUp(nn.Module):
     fused_bottleneck: bool = False  # Pallas fused int8 identity blocks
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
     dot_lowering: bool = False  # config.int8_dot_lowering
+    int8_stem: bool = True  # config.int8_stem (bf16 conv1 when False)
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
@@ -394,7 +421,8 @@ class ResNetBottomUp(nn.Module):
         # unchanged (conv1/kernel stays [7,7,3,64]).
         x = Stage1Conv(
             space_to_depth=self.conv1_space_to_depth, dtype=dt,
-            quantized=self.quantized, name="conv1",
+            quantized=self.quantized, int8_compute=self.int8_stem,
+            name="conv1",
         )(x)
         x = nn.relu(FrozenBatchNorm(name="bn_conv1", dtype=dt)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
@@ -493,6 +521,7 @@ class ResNetFPN(nn.Module):
     # mask ROIAlign samples
     quantize_p2: bool = True
     dot_lowering: bool = False  # config.int8_dot_lowering
+    int8_stem: bool = True  # config.int8_stem (bf16 conv1 when False)
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -504,7 +533,8 @@ class ResNetFPN(nn.Module):
             s2d_stage2=self.s2d_stage2,
             fused_bottleneck=self.fused_bottleneck,
             per_channel=self.per_channel,
-            dot_lowering=self.dot_lowering, name="resnet",
+            dot_lowering=self.dot_lowering, int8_stem=self.int8_stem,
+            name="resnet",
         )(images)
 
         make_conv = conv_factory(

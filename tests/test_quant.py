@@ -401,6 +401,51 @@ class TestEndToEndQuantized:
         nz = int(det_z.valid.sum())
         assert abs(nq - nz) <= 2, (nq, nz)
 
+    def test_bf16_stem_gate(self, setup):
+        """cfg.int8_stem=False: conv1 serves in bf16 with the dequantized
+        int8 kernel. Unit-level: frozen == unfrozen through the gate (same
+        rounded weights), and the bf16 output is within stem act-quant
+        error of the int8 path. End-to-end: the frozen artifact applies
+        unchanged and detection counts match the int8-stem path."""
+        cfg_q, variables, imgs, windows = setup
+        from objectdetection_tpu.models.backbone import Stage1Conv
+        from objectdetection_tpu.quant import freeze_weights
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32) * 50.0)
+        mod_cal = Stage1Conv(quantized=True, dtype=jnp.bfloat16)
+        v = mod_cal.init(jax.random.PRNGKey(0), x)
+        _, m = mod_cal.apply(v, x, mutable=["quant"])
+        v = {**v, "quant": m["quant"]}
+        fz = freeze_weights(v)
+
+        mod_f = Stage1Conv(
+            quantized=True, dtype=jnp.bfloat16, int8_compute=False
+        )
+        y_frozen = np.asarray(mod_f.apply(fz, x), np.float32)
+        y_unfrozen = np.asarray(mod_f.apply(v, x), np.float32)
+        np.testing.assert_allclose(y_frozen, y_unfrozen, atol=1e-2)
+        y_int8 = np.asarray(
+            Stage1Conv(quantized=True, dtype=jnp.bfloat16).apply(fz, x),
+            np.float32,
+        )
+        # bf16 vs int8 stem differ only by the stem's act-quant error
+        scale = float(np.abs(y_int8).max())
+        np.testing.assert_allclose(y_frozen, y_int8, atol=0.05 * scale)
+
+        # end-to-end: frozen artifact applies under the gate, counts match
+        cfg_f = cfg_q.replace(int8_stem=False)
+        fz_all = freeze_weights(variables)
+        det_f = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_f)
+        )(fz_all, imgs, windows)
+        det_q = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_q)
+        )(fz_all, imgs, windows)
+        nf = int(det_f.valid.sum())
+        nq = int(det_q.valid.sum())
+        assert abs(nf - nq) <= 2, (nf, nq)
+
     def test_int8_align_inputs_plumbing(self, setup):
         """cfg.int8_align_inputs (the Pallas align kernel reads the RPN's
         int8 P-levels): extract's qfeats are exactly quantize_act of the
