@@ -176,9 +176,13 @@ class DetectorConfig:
     # the box stage — at zero extra quantize passes; the s_in dequant
     # folds into the kernel's epilogue map. Requires quantize_rpn; the XLA
     # fallback and calibration keep the float pyramid. Tolerance-level
-    # numerics vs aligning the dequantized features (not bit-exact).
-    # OFF by default until TPU-measured (bench_matrix rule, CLAUDE.md).
-    int8_align_inputs: bool = False
+    # numerics vs aligning the dequantized features (not bit-exact; TPU
+    # smoke: max float err 0.031, int8 codes within one rounding step —
+    # benchmarks/pallas_align_smoke.py, r4). TPU-measured END-TO-END before
+    # defaulting on (bench_matrix r4): 455.6 ms/b96 (210.7 img/s) vs 463.9
+    # for the same combo without it — the full-pipeline win of halving the
+    # align kernel's patch-DMA bytes.
+    int8_align_inputs: bool = True
     # int8 stem compute. True: conv1 runs int8 — but its int32 output
     # ([B,512²,64] = 6.4 GB/b96) plus the unfused dequant pass is ~13 GB of
     # extra HBM traffic on a conv whose compute is trivial either way
