@@ -50,6 +50,10 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--ks", default="4,8,16")
     p.add_argument("--mixes", default="realistic,huge")
+    p.add_argument(
+        "--int8-in", action="store_true",
+        help="int8 features + in_scale (the cfg.int8_align_inputs path)",
+    )
     args = p.parse_args()
 
     from objectdetection_tpu.ops.roi_align_pallas import (
@@ -65,6 +69,12 @@ def main():
         )
         for s in (4, 8, 16, 32)
     ]
+    in_scale = None
+    if args.int8_in:
+        from objectdetection_tpu.quant import quantize_act
+
+        in_scale = jnp.float32(4.0)
+        feats = [quantize_act(f, in_scale) for f in feats]
     print(
         f"b={b} r={r} ({b * r} ROIs) levels "
         f"{[tuple(f.shape[1:3]) for f in feats]}",
@@ -79,7 +89,8 @@ def main():
                 def body(_, carry):
                     bx, acc = carry
                     out = batched_multilevel_roi_align_pallas(
-                        feats, bx, (d, d), (7, 7), k_rois=k
+                        feats, bx, (d, d), (7, 7), k_rois=k,
+                        in_scale=in_scale,
                     )
                     s = jnp.sum(out.astype(jnp.float32))
                     return bx + 1e-20 * s, acc + s
