@@ -189,9 +189,10 @@ class DetectorConfig:
     # (cin=3 starves the MXU; audit: stem 27.6 ms vs 9.2 memory roofline).
     # False: serve conv1 in bf16 with the DEQUANTIZED int8 kernel — same
     # quantized weights (frozen artifacts load unchanged, calibration
-    # identical), no act-quant error, no int32 materialization. Kept True
-    # pending a bench_matrix row (measure-before-default rule, CLAUDE.md).
-    int8_stem: bool = True
+    # identical), no act-quant error, no int32 materialization. Measured
+    # end-to-end (bench_matrix r4): bf16_stem 451.2 ms/b96 (212.8 img/s)
+    # vs 454.2-455.6 for the same combo with the int8 stem — default False.
+    int8_stem: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False
