@@ -80,6 +80,16 @@ MATRIX = {
     # traffic for MXU-starved (cin=3) compute
     "bf16_stem": dict(per_channel_acts=True, int8_pooled=True,
                       int8_dot_lowering=False, int8_stem=False),
+    # r5: explicit same-process reference at the SHIPPED default combo
+    # (pc + pooled + no-dot + int8_align_inputs + bf16 stem are all config
+    # defaults now — only per_channel_acts needs naming)
+    "r5_default": dict(per_channel_acts=True),
+    # r5: bf16-served backbone stages (config.bf16_stages — the stem
+    # pattern per stage; VERDICT r4 #5's counterfactual). Stage 2 pays 2.0x
+    # memF from 64-lane int8 padding + unfused requant passes; stage 3 is
+    # the next candidate (1.7x).
+    "bf16_s2": dict(per_channel_acts=True, bf16_stages=(2,)),
+    "bf16_s23": dict(per_channel_acts=True, bf16_stages=(2, 3)),
 }
 
 

@@ -60,6 +60,16 @@ def main():
         "the conv biases after freezing (quant.apply_bias_correction)",
     )
     p.add_argument(
+        "--int8-stem", action="store_true",
+        help="serve conv1 int8 (cfg.int8_stem=True — the pre-r4 default; "
+        "the config default is now the bf16 stem)",
+    )
+    p.add_argument(
+        "--bf16-stages", default="",
+        help="comma list of ResNet stages served bf16 with dequantized "
+        "int8 kernels (cfg.bf16_stages), e.g. '2' or '2,3'",
+    )
+    p.add_argument(
         "--approx-topk", action="store_true",
         help="use approx_max_k proposal selection in BOTH evals (isolates "
         "its accuracy cost on the trained model)",
@@ -115,6 +125,10 @@ def main():
         quantize_mask_head=not args.float_mask_head,
         quantize_fpn_p2=not args.float_p2,
         per_channel_acts=args.per_channel,
+        int8_stem=args.int8_stem,
+        bf16_stages=tuple(
+            int(s) for s in args.bf16_stages.split(",") if s
+        ),
     )
     # init with the quantized model to get the quant collection skeleton,
     # then graft the trained float params/batch_stats on top

@@ -193,6 +193,19 @@ class DetectorConfig:
     # end-to-end (bench_matrix r4): bf16_stem 451.2 ms/b96 (212.8 img/s)
     # vs 454.2-455.6 for the same combo with the int8 stem — default False.
     int8_stem: bool = False
+    # Serve the listed ResNet stages (subset of 2..5) in bf16 with the
+    # DEQUANTIZED int8 kernels on an otherwise-int8 path — the stem pattern
+    # (int8_stem) generalized per stage. Rationale: the backbone audit's
+    # conv microprobes show requant epilogues do NOT fuse into convs on
+    # this backend (each int8 conv pays an int32->requant elementwise pass)
+    # and stage 2's 64-channel tensors waste half the int8 (32,128) tile
+    # lanes; bf16 serving skips the act-quantize pass and the unfused
+    # requant chain at 2x the MXU cost — a measured win for the stem.
+    # Same quantized weights (frozen artifacts load unchanged; per-channel
+    # act folds are inverted at apply time), same calibration. Measure via
+    # benchmarks/bench_matrix.py (bf16_s2 / bf16_s23 entries) before
+    # changing the default.
+    bf16_stages: Tuple[int, ...] = ()
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

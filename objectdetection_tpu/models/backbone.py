@@ -149,6 +149,13 @@ class BottleneckBlock(nn.Module):
     per_channel: bool = False
     # lower measured-win 1x1 int8 convs as dots (config.int8_dot_lowering)
     dot_lowering: bool = False
+    # serve this block in bf16 with dequantized int8 kernels on the
+    # quantized path (config.bf16_stages — the int8_stem pattern per
+    # stage). Variable layout (quant scales, out_scale) is unchanged.
+    int8_compute: bool = True
+    # bf16-served blocks: re-enter the int8 stream at the block output
+    # (only the LAST block of a bf16 stage does, at the stage boundary)
+    quantize_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -171,6 +178,7 @@ class BottleneckBlock(nn.Module):
         conv = lambda f, k, s, name: make_conv(
             f, (k, k), strides=(s, s), padding="SAME", name=name,
             s2d=self.s2d, per_channel=self.per_channel,
+            int8_compute=self.int8_compute,
         )
         bn = lambda name: FrozenBatchNorm(
             name=name, dtype=self.dtype, s2d=self.s2d
@@ -194,8 +202,16 @@ class BottleneckBlock(nn.Module):
             )
 
         int8_stream = self.quantized and not self.is_mutable_collection("quant")
+        # bf16-served block (config.bf16_stages): float activations through
+        # the block, dequantized int8 kernels inside the convs. Accepts
+        # either a carried (int8, scale) pair (stage boundary) or a float
+        # tensor (mid-stage); emits int8 only at the stage exit.
+        bf16_serve = int8_stream and not self.int8_compute
+        if bf16_serve and isinstance(x, tuple):
+            x = dequantize_act(x[0], x[1], self.dtype)
         if (
             int8_stream
+            and self.int8_compute
             and self.fused
             and not self.per_channel  # fused kernel expects scalar scales
             and not self.projection
@@ -233,7 +249,7 @@ class BottleneckBlock(nn.Module):
             )
             return y8, out_scale.value
 
-        if int8_stream:
+        if int8_stream and not bf16_serve:
             x8, sx = x
             if self.projection:
                 shortcut = bn(bnn + "1")(
@@ -255,6 +271,10 @@ class BottleneckBlock(nn.Module):
         y = conv(f3, 1, 1, cn + "2c")(y)
         out = nn.relu(make_bn2c()(y) + shortcut)
 
+        if bf16_serve:
+            if self.quantize_out:  # stage exit: re-enter the int8 stream
+                return quantize_act(out, out_scale.value), out_scale.value
+            return out
         if int8_stream:
             return quantize_act(out, out_scale.value), out_scale.value
         if self.quantized:  # calibration pass: record the block-output range
@@ -402,12 +422,17 @@ class ResNetBottomUp(nn.Module):
     per_channel: bool = False  # per-channel act quant (config.per_channel_acts)
     dot_lowering: bool = False  # config.int8_dot_lowering
     int8_stem: bool = True  # config.int8_stem (bf16 conv1 when False)
+    bf16_stages: Tuple[int, ...] = ()  # config.bf16_stages
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array, Array, Array]:
         assert self.model in RESNET_STAGE4_BLOCKS
         assert not (self.per_channel and self.s2d_stage2), (
             "per_channel_acts and s2d_stage2 are mutually exclusive"
+        )
+        assert set(self.bf16_stages) <= {2, 3, 4, 5}
+        assert not (self.s2d_stage2 and 2 in self.bf16_stages), (
+            "s2d_stage2 and a bf16 stage 2 are mutually exclusive"
         )
         dt = self.dtype
         x = x.astype(dt)
@@ -438,9 +463,11 @@ class ResNetBottomUp(nn.Module):
                 a = jnp.abs(x.astype(jnp.float32))
                 upd = jnp.max(a, axis=(0, 1, 2)) if pc else jnp.max(a)
                 c1_scale.value = jnp.maximum(c1_scale.value, upd)
-            else:
+            elif 2 not in self.bf16_stages:
                 # enter the int8-carried stream: stages pass (int8, scale)
-                # pairs between blocks (see BottleneckBlock docstring)
+                # pairs between blocks (see BottleneckBlock docstring).
+                # With a bf16 stage 2 the stream starts at that stage's
+                # exit instead — skipping the stem-output quantize pass.
                 x = (quantize_act(x, c1_scale.value), c1_scale.value)
 
         # jax.checkpoint per block trades FLOPs for activation memory when
@@ -448,12 +475,20 @@ class ResNetBottomUp(nn.Module):
         block_cls = nn.remat(BottleneckBlock) if self.remat else BottleneckBlock
 
         def stage(x, stage_idx, filters, first_stride, num_blocks, s2d=False):
+            # bf16-served stage (config.bf16_stages): blocks run float and
+            # only the LAST block re-quantizes — and only when the next
+            # stage is int8 (a float c_i feeds the FPN laterals fine)
+            i8c = stage_idx not in self.bf16_stages
+            requant = stage_idx + 1 not in self.bf16_stages
             x = block_cls(
                 filters, stride=first_stride, projection=True,
                 stage=stage_idx, block="a", dtype=dt,
                 quantized=self.quantized, s2d=s2d,
                 per_channel=self.per_channel,
-                dot_lowering=self.dot_lowering, name=f"res{stage_idx}a",
+                dot_lowering=self.dot_lowering,
+                int8_compute=i8c,
+                quantize_out=num_blocks == 1 and requant,
+                name=f"res{stage_idx}a",
             )(x)
             for i in range(1, num_blocks):
                 blk = chr(ord("a") + i)
@@ -463,6 +498,8 @@ class ResNetBottomUp(nn.Module):
                     fused=self.fused_bottleneck,
                     per_channel=self.per_channel,
                     dot_lowering=self.dot_lowering,
+                    int8_compute=i8c,
+                    quantize_out=i == num_blocks - 1 and requant,
                     name=f"res{stage_idx}{blk}",
                 )(x)
             return x
@@ -522,6 +559,7 @@ class ResNetFPN(nn.Module):
     quantize_p2: bool = True
     dot_lowering: bool = False  # config.int8_dot_lowering
     int8_stem: bool = True  # config.int8_stem (bf16 conv1 when False)
+    bf16_stages: Tuple[int, ...] = ()  # config.bf16_stages
 
     @nn.compact
     def __call__(self, images: Array) -> Tuple[Array, ...]:
@@ -534,6 +572,7 @@ class ResNetFPN(nn.Module):
             fused_bottleneck=self.fused_bottleneck,
             per_channel=self.per_channel,
             dot_lowering=self.dot_lowering, int8_stem=self.int8_stem,
+            bf16_stages=self.bf16_stages,
             name="resnet",
         )(images)
 
@@ -551,8 +590,15 @@ class ResNetFPN(nn.Module):
             "quant"
         )
         if int8_stream:
-            # stages emitted (int8, scale) pairs — laterals consume directly
-            lat = lambda name, c: mk_lat(name)(c[0], in_scale=c[1])
+            # stages emitted (int8, scale) pairs — laterals consume directly.
+            # A bf16-served stage followed by another bf16 stage emits a
+            # FLOAT c_i instead (no requantize at that boundary); the
+            # QuantConv lateral then quantizes with its own act_scale.
+            lat = lambda name, c: (
+                mk_lat(name)(c[0], in_scale=c[1])
+                if isinstance(c, tuple)
+                else mk_lat(name)(c)
+            )
         else:
             lat = lambda name, c: mk_lat(name)(c)
 
@@ -570,6 +616,8 @@ class ResNetFPN(nn.Module):
 
                 lat_p2 = lambda c: lat_p2_conv(
                     dequantize_act(c[0], c[1], dt)
+                    if isinstance(c, tuple)
+                    else c
                 )
             else:
                 lat_p2 = lambda c: lat_p2_conv(c)

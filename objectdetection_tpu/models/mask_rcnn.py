@@ -42,7 +42,8 @@ class MaskRCNN(nn.Module):
             per_channel=cfg.per_channel_acts,
             quantize_p2=cfg.quantize_fpn_p2,
             dot_lowering=cfg.int8_dot_lowering,
-            int8_stem=cfg.int8_stem, name="fpn",
+            int8_stem=cfg.int8_stem,
+            bf16_stages=cfg.bf16_stages, name="fpn",
         )
         self.rpn = RPNHead(
             anchors_per_location=cfg.num_anchors_per_location,

@@ -195,6 +195,14 @@ class QuantConv(nn.Module):
     per_channel: bool = False
     # lower measured-win 1x1 shapes as reshaped dots (config.int8_dot_lowering)
     dot_lowering: bool = False
+    # Serve in bf16 with the DEQUANTIZED int8 kernel (config.bf16_stages /
+    # the Stage1Conv int8_stem pattern): same quantized weights — frozen
+    # and unfrozen paths agree because the kernel round-trips through int8
+    # either way — but float activations and a float conv output. Skips
+    # the act-quantize pass and the int32->requant elementwise pass that
+    # does not fuse into conv epilogues on this backend
+    # (benchmarks/backbone_audit.py microprobes). Calibration identical.
+    int8_compute: bool = True
 
     @nn.compact
     def __call__(
@@ -298,6 +306,43 @@ class QuantConv(nn.Module):
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 xk(kernel).astype(self.dtype),
+                window_strides=self.strides,
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        elif not self.int8_compute:
+            # --- bf16 inference with the dequantized int8 kernel ---
+            assert not self.s2d and not return_x8
+            if kernel.dtype == jnp.int8:  # frozen offline
+                k8, sw = kernel, kernel_scale.value
+            else:
+                k_eff = kernel
+                if self.per_channel:
+                    # freeze_weights folds the [Cin] act dequant into the
+                    # kernel before quantization; reproduce that fold so
+                    # frozen/unfrozen kernels agree bit-for-bit
+                    k_eff = kernel * (act_scale.value / ACT_QMAX).reshape(
+                        1, 1, cin, 1
+                    )
+                k8, sw = weight_qparams(k_eff)
+            k = k8.astype(jnp.float32) * sw
+            if self.per_channel:
+                # invert the act fold: bf16 compute takes UNQUANTIZED x.
+                # act_scale[c] == 0 means the input channel was identically
+                # zero in calibration (its folded kernel column is zero
+                # regardless), so the 0-fill is exact.
+                act = act_scale.value
+                k = k * jnp.where(
+                    act > 0, ACT_QMAX / jnp.maximum(act, 1e-30), 0.0
+                ).reshape(1, 1, cin, 1)
+            xf = (
+                dequantize_act(x, in_scale, self.dtype)
+                if in_scale is not None
+                else x
+            )
+            y = jax.lax.conv_general_dilated(
+                xf.astype(self.dtype),
+                k.astype(self.dtype),
                 window_strides=self.strides,
                 padding=padding,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -520,7 +565,7 @@ def conv_factory(quantized: bool, dtype: Any, dot_lowering: bool = False):
 
     def make(
         features, kernel_size, strides=(1, 1), padding="SAME", name=None,
-        s2d=False, per_channel=False,
+        s2d=False, per_channel=False, int8_compute=True,
     ):
         if quantized:
             return QuantConv(
@@ -532,6 +577,7 @@ def conv_factory(quantized: bool, dtype: Any, dot_lowering: bool = False):
                 s2d=s2d,
                 per_channel=per_channel and not s2d,
                 dot_lowering=dot_lowering,
+                int8_compute=int8_compute,
                 name=name,
             )
         if s2d:

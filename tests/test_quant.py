@@ -446,6 +446,72 @@ class TestEndToEndQuantized:
         nq = int(det_q.valid.sum())
         assert abs(nf - nq) <= 2, (nf, nq)
 
+    def test_bf16_stages_gate(self, setup):
+        """cfg.bf16_stages: serve listed ResNet stages in bf16 with the
+        dequantized int8 kernels (the int8_stem pattern per stage).
+        Unit-level: QuantConv(int8_compute=False) frozen == unfrozen (same
+        rounded weights, incl. the per-channel act fold/unfold) and is
+        within weight-quant error of the float conv. End-to-end: the frozen
+        artifact applies unchanged under bf16_stages=(2,) and (2, 3) and
+        detection counts track the all-int8 path."""
+        cfg_q, variables, imgs, windows = setup
+        from objectdetection_tpu.quant import (
+            QuantConv,
+            freeze_weights,
+            quantize_act,
+        )
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+        for per_channel in (False, True):
+            mod_cal = QuantConv(
+                features=8, kernel_size=(3, 3), dtype=jnp.bfloat16,
+                per_channel=per_channel,
+            )
+            v = mod_cal.init(jax.random.PRNGKey(1), x)
+            _, m = mod_cal.apply(v, x, mutable=["quant"])
+            v = {**v, "quant": m["quant"]}
+            fz = freeze_weights(v)
+            mod_b = QuantConv(
+                features=8, kernel_size=(3, 3), dtype=jnp.bfloat16,
+                per_channel=per_channel, int8_compute=False,
+            )
+            y_frozen = np.asarray(mod_b.apply(fz, x), np.float32)
+            y_unfrozen = np.asarray(mod_b.apply(v, x), np.float32)
+            np.testing.assert_allclose(
+                y_frozen, y_unfrozen, atol=2e-2, rtol=2e-2
+            )
+            # within int8 weight-quant + bf16 error of the float conv
+            y_float = np.asarray(mod_cal.apply(v, x, mutable=["quant"])[0],
+                                 np.float32)
+            scale = max(float(np.abs(y_float).max()), 1e-6)
+            np.testing.assert_allclose(
+                y_frozen, y_float, atol=0.05 * scale
+            )
+            # carried (int8, scale) pair input dequantizes in-gate
+            act = m["quant"]["act_scale"]
+            x8 = quantize_act(x, act)
+            y_pair = np.asarray(
+                mod_b.apply(fz, x8, act), np.float32
+            )
+            np.testing.assert_allclose(
+                y_pair, y_frozen, atol=0.08 * scale
+            )
+
+        # end-to-end: frozen artifact under bf16 stages, counts match int8
+        fz_all = freeze_weights(variables)
+        det_q = jax.jit(
+            lambda v, i, w: detector.forward_inference(v, i, w, cfg_q)
+        )(fz_all, imgs, windows)
+        nq = int(det_q.valid.sum())
+        for stages in ((2,), (2, 3)):
+            cfg_b = cfg_q.replace(bf16_stages=stages)
+            det_b = jax.jit(
+                lambda v, i, w: detector.forward_inference(v, i, w, cfg_b)
+            )(fz_all, imgs, windows)
+            nb = int(det_b.valid.sum())
+            assert abs(nb - nq) <= 2, (stages, nb, nq)
+
     def test_int8_align_inputs_plumbing(self, setup):
         """cfg.int8_align_inputs (the Pallas align kernel reads the RPN's
         int8 P-levels): extract's qfeats are exactly quantize_act of the

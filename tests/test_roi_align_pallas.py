@@ -127,9 +127,28 @@ class TestPallasRoiAlign:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
     def test_matches_xla_bf16(self, pyramid):
+        from objectdetection_tpu.ops import roi_align_pallas as rap
+
         boxes = _boxes()[:, :16]
+        b, r = boxes.shape[:2]
         feats16 = [f.astype(jnp.bfloat16) for f in pyramid]
-        ref = batched_multilevel_roi_align(feats16, boxes, IMAGE, (7, 7))
+        ref = np.asarray(
+            batched_multilevel_roi_align(feats16, boxes, IMAGE, (7, 7)),
+            np.float32,
+        )
+        # reroute-aware expectation (same as test_matches_xla): image 2 is
+        # the reversed box list, so its first 16 rows include the window-edge
+        # no_fit sliver, which samples the full top level by design.
+        heights = np.array([f.shape[1] for f in pyramid], np.int32)
+        widths = np.array([f.shape[2] for f in pyramid], np.int32)
+        rm = rap._route_and_meta(boxes, IMAGE, heights, widths, 7, 2, b, r)
+        no_fit = np.asarray(rm["no_fit"]).reshape(b, r)
+        assert no_fit.sum() == 1  # the sliver, present only in image 2's slice
+        ref_top = np.asarray(
+            batched_multilevel_roi_align(feats16[-1:], boxes, IMAGE, (7, 7)),
+            np.float32,
+        )
+        ref = np.where(no_fit[..., None, None, None], ref_top, ref)
         got = batched_multilevel_roi_align_pallas(
             feats16, boxes, IMAGE, (7, 7), interpret=True
         )
