@@ -90,6 +90,12 @@ MATRIX = {
     # the next candidate (1.7x).
     "bf16_s2": dict(per_channel_acts=True, bf16_stages=(2,)),
     "bf16_s23": dict(per_channel_acts=True, bf16_stages=(2, 3)),
+    # r5: multi-chunk align grid steps (config.align_step_rois — each grid
+    # step covers N ROIs as N/16 chunks over the same double-buffered patch
+    # store, amortizing the 5 per-step input-block copies; VERDICT r4 #4)
+    "step64": dict(per_channel_acts=True, align_step_rois=64),
+    "step128": dict(per_channel_acts=True, align_step_rois=128),
+    "step256": dict(per_channel_acts=True, align_step_rois=256),
 }
 
 

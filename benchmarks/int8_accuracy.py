@@ -70,6 +70,18 @@ def main():
         "int8 kernels (cfg.bf16_stages), e.g. '2' or '2,3'",
     )
     p.add_argument(
+        "--no-int8-pooled", dest="int8_pooled", action="store_false",
+        default=True,
+        help="disable cfg.int8_pooled (int8 pooled ROI features into the "
+        "box head — on by default since r3/r4)",
+    )
+    p.add_argument(
+        "--no-int8-align-inputs", dest="int8_align_inputs",
+        action="store_false", default=True,
+        help="disable cfg.int8_align_inputs (Pallas align reads the RPN's "
+        "int8 P-levels — on by default since r4)",
+    )
+    p.add_argument(
         "--approx-topk", action="store_true",
         help="use approx_max_k proposal selection in BOTH evals (isolates "
         "its accuracy cost on the trained model)",
@@ -126,6 +138,8 @@ def main():
         quantize_fpn_p2=not args.float_p2,
         per_channel_acts=args.per_channel,
         int8_stem=args.int8_stem,
+        int8_pooled=args.int8_pooled,
+        int8_align_inputs=args.int8_align_inputs,
         bf16_stages=tuple(
             int(s) for s in args.bf16_stages.split(",") if s
         ),

@@ -49,6 +49,12 @@ def main():
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--ks", default="4,8,16")
+    p.add_argument(
+        "--steps", default="",
+        help="comma list of step_rois values to sweep at K=16 (multi-chunk "
+        "grid steps, config.align_step_rois); each is parity-checked "
+        "against the one-chunk kernel on-device before timing",
+    )
     p.add_argument("--mixes", default="realistic,huge")
     p.add_argument(
         "--int8-in", action="store_true",
@@ -81,16 +87,45 @@ def main():
         flush=True,
     )
 
+    sweeps = [("K", int(x), None) for x in args.ks.split(",") if x] + [
+        ("step", 16, int(x)) for x in args.steps.split(",") if x
+    ]
     for mix in args.mixes.split(","):
         boxes = make_boxes(rng, b, r, mix)
-        for k in [int(x) for x in args.ks.split(",")]:
+        for label, k, step in sweeps:
+            if step is not None:
+                # on-device parity vs the one-chunk kernel (identical math
+                # over the same patch store -> bit-identical outputs)
+                base = jax.jit(
+                    lambda f, bx: batched_multilevel_roi_align_pallas(
+                        f, bx, (d, d), (7, 7), k_rois=k, in_scale=in_scale
+                    )
+                )(feats, boxes)
+                stepped = jax.jit(
+                    lambda f, bx, step=step: batched_multilevel_roi_align_pallas(
+                        f, bx, (d, d), (7, 7), k_rois=k, step_rois=step,
+                        in_scale=in_scale,
+                    )
+                )(feats, boxes)
+                mismatch = int(
+                    jnp.sum(
+                        base.astype(jnp.float32)
+                        != stepped.astype(jnp.float32)
+                    )
+                )
+                print(
+                    f"mix={mix:9s} step={step}: parity "
+                    f"{'EXACT' if mismatch == 0 else f'{mismatch} MISMATCHED'}",
+                    flush=True,
+                )
+
             @jax.jit
-            def run(feats, boxes, n, k=k):
+            def run(feats, boxes, n, k=k, step=step):
                 def body(_, carry):
                     bx, acc = carry
                     out = batched_multilevel_roi_align_pallas(
                         feats, bx, (d, d), (7, 7), k_rois=k,
-                        in_scale=in_scale,
+                        step_rois=step, in_scale=in_scale,
                     )
                     s = jnp.sum(out.astype(jnp.float32))
                     return bx + 1e-20 * s, acc + s
@@ -109,8 +144,9 @@ def main():
             float(run(feats, boxes, jnp.int32(1 + args.iters)))
             tm = time.time() - t0
             ms = 1000.0 * max(tm - t1, 0.0) / args.iters
+            tag = f"K={k:3d}" if step is None else f"K={k} step={step:4d}"
             print(
-                f"mix={mix:9s} K={k:3d}: {ms:8.2f} ms/batch "
+                f"mix={mix:9s} {tag}: {ms:8.2f} ms/batch "
                 f"({1000.0 * ms / (b * r):6.2f} us/ROI)",
                 flush=True,
             )

@@ -206,6 +206,14 @@ class DetectorConfig:
     # benchmarks/bench_matrix.py (bf16_s2 / bf16_s23 entries) before
     # changing the default.
     bf16_stages: Tuple[int, ...] = ()
+    # ROIs covered per Pallas ROIAlign GRID step (0 = one K_ROIS chunk, the
+    # original form). A multiple of K_ROIS (16): the kernel loops
+    # step/K chunks over the same double-buffered patch store, amortizing
+    # the per-step pipelined input-block copies (5 blocks, ~1.2-1.9 us/step
+    # fixed — the K-sweep algebra attributes ~11.5 ms/b96 @K=16 to them).
+    # Measure via benchmarks/bench_matrix.py (step128 entry) before
+    # changing the default.
+    align_step_rois: int = 0
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

@@ -102,16 +102,16 @@ def pallas_roi_align_supported(features) -> bool:
 
 
 def _kernel(
-    meta_ref,  # SMEM int32 [K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
-    next_ref,  # SMEM int32 [K, 1, 8] next step's rows (table shifted by K)
-    xint_ref,  # SMEM int32 [K, 1, 2*pool]: x0w | unused (patch-relative)
-    wx_ref,  # SMEM f32 [K, 1, pool]: adjusted x lerp weights (scalar reads)
-    geom_ref,  # VMEM f32 [K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
+    meta_ref,  # SMEM int32 [M*K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
+    next_ref,  # SMEM int32 [M*K, 1, 8] rows shifted by K (next CHUNK's meta)
+    xint_ref,  # SMEM int32 [M*K, 1, 2*pool]: x0w | unused (patch-relative)
+    wx_ref,  # SMEM f32 [M*K, 1, pool]: adjusted x lerp weights (scalar reads)
+    geom_ref,  # VMEM f32 [M*K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
     post_ref,  # VMEM f32 [pool, pool*C] epilogue multiply map — 127/s_out
     # (int8 out), s_in/127 (int8 in, float out), s_in/s_out (both) — or
     # [1, 1] when unused (float in, float out)
     f2, f3, f4, f5,  # ANY [B, H_l, W_l*C] feature views
-    out_ref,  # VMEM [K, pool, pool*C]
+    out_ref,  # VMEM [M*K, pool, pool*C]
     *scratch,
     pool: int,
     chans: int,
@@ -120,13 +120,20 @@ def _kernel(
     compute_dtype,
     quantize_out: bool,
     int8_in: bool,
+    k_rois: int,
+    m_chunks: int,
 ):
+    """Each grid step covers m_chunks*k_rois ROIs; the manual patch
+    double-buffer stays at K granularity (chunk c's patches were started by
+    chunk c-1 into slot c%2). m_chunks > 1 amortizes the per-step fixed
+    costs — the 5 pipelined input-block copies and grid overhead, measured
+    ~1.2-1.9 us/step — across M chunks (config.align_step_rois); with
+    m_chunks == 1 the lowering is the original per-step form (all row
+    indices static)."""
     bufs, b_top, state_ref, xb_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
     g = pl.program_id(0)
     n = pl.num_programs(0)
-    slot = jax.lax.rem(g, 2)
-    k_rois = meta_ref.shape[0]
 
     top_ci = len(classes) - 1
 
@@ -144,10 +151,10 @@ def _kernel(
                     continue
                 yield lvl, ci, py, px
 
-    def dma(ref, j, slot_, lvl, py, px):
-        img = ref[j, 0, 0]
-        yq = ref[j, 0, 3]
-        x0 = ref[j, 0, 4]
+    def dma(ref, row, j, slot_, lvl, py, px):
+        img = ref[row, 0, 0]
+        yq = ref[row, 0, 3]
+        x0 = ref[row, 0, 4]
         return pltpu.make_async_copy(
             feats[lvl].at[
                 img, pl.ds(yq * 8, py), pl.ds(x0 * chans, px * chans)
@@ -156,135 +163,165 @@ def _kernel(
             sems.at[slot_, j],
         )
 
-    def start_dmas(ref, slot_):
+    def start_dmas(ref, base, slot_):
         for j in range(k_rois):
-            li = ref[j, 0, 1]
-            cls = ref[j, 0, 2]
+            row = base + j
+            li = ref[row, 0, 1]
+            cls = ref[row, 0, 2]
             for lvl, ci, py, px in combos():
                 @pl.when((li == lvl) & (cls == ci))
-                def _(j=j, lvl=lvl, py=py, px=px):
-                    dma(ref, j, slot_, lvl, py, px).start()
+                def _(row=row, j=j, lvl=lvl, py=py, px=px):
+                    dma(ref, row, j, slot_, lvl, py, px).start()
 
-    def wait_dma(ref, j, slot_):
-        li = ref[j, 0, 1]
-        cls = ref[j, 0, 2]
+    def wait_dma(ref, row, j, slot_):
+        li = ref[row, 0, 1]
+        cls = ref[row, 0, 2]
         for lvl, ci, py, px in combos():
             @pl.when((li == lvl) & (cls == ci))
-            def _(j=j, lvl=lvl, py=py, px=px):
-                dma(ref, j, slot_, lvl, py, px).wait()
+            def _(row=row, j=j, lvl=lvl, py=py, px=px):
+                dma(ref, row, j, slot_, lvl, py, px).wait()
 
     @pl.when(g == 0)
     def _():
         state_ref[0] = -1  # no image's top level cached yet
-        start_dmas(meta_ref, 0)
+        start_dmas(meta_ref, 0, 0)
 
-    @pl.when(g + 1 < n)
-    def _():
-        start_dmas(next_ref, 1 - slot)
+    def chunk(m):
+        """One K-ROI chunk: prefetch chunk c+1's patches (next_ref is the
+        meta table shifted by K, so rows [m*K, (m+1)*K) of it ARE the next
+        chunk — uniformly across step boundaries), then wait + process this
+        chunk. m is a Python int when m_chunks == 1, else a fori_loop
+        index (dynamic row indices into the step's SMEM/VMEM blocks)."""
+        base = m * k_rois
+        c = g * m_chunks + m
+        slot = jax.lax.rem(c, 2)
 
-    for j in range(k_rois):
-        cls = meta_ref[j, 0, 2]
+        @pl.when(c + 1 < n * m_chunks)
+        def _():
+            start_dmas(next_ref, base, 1 - slot)
 
-        @pl.when(cls != top_ci)
-        def _(j=j):
-            wait_dma(meta_ref, j, slot)
+        for j in range(k_rois):
+            row = base + j
+            cls = meta_ref[row, 0, 2]
 
-        # Full-top-level class: the patch is image i's ENTIRE top pyramid
-        # level, cached across grid steps — ROIs arrive image-major, so it
-        # reloads only B times per batch instead of once per top-class ROI.
-        @pl.when(cls == top_ci)
-        def _(j=j):
-            img = meta_ref[j, 0, 0]
+            @pl.when(cls != top_ci)
+            def _(row=row, j=j, slot=slot):
+                wait_dma(meta_ref, row, j, slot)
 
-            @pl.when(state_ref[0] != img)
-            def _():
-                cp = pltpu.make_async_copy(
-                    feats[len(level_dims) - 1].at[img], b_top, sem_top
-                )
-                cp.start()
-                cp.wait()
-                state_ref[0] = img
+            # Full-top-level class: the patch is image i's ENTIRE top
+            # pyramid level, cached across grid steps — ROIs arrive
+            # image-major, so it reloads only B times per batch instead of
+            # once per top-class ROI.
+            @pl.when(cls == top_ci)
+            def _(row=row):
+                img = meta_ref[row, 0, 0]
 
-        for ci, (py, px) in enumerate(classes):
-            if ci == top_ci:
-                patch_ref_fn = lambda: b_top
-            else:
-                patch_ref_fn = lambda j=j: bufs.at[slot, j]
-
-            @pl.when(cls == ci)
-            def _(j=j, ci=ci, py=py, px=px, patch_ref_fn=patch_ref_fn):
-                # x-interp FIRST: of the patch's px*C columns, the 7x7 pool
-                # only ever reads pool*C blended ones — interpolating x on
-                # the patch (7 lane-slice blends of [py, C]) before the
-                # matmul means the y-matmul contracts py into pool*C lanes
-                # instead of px*C: 3-8x less MXU work per ROI. (Measured on
-                # the y-first order: 0.85-0.93 us/ROI flat across ROI-size
-                # mixes — MXU latency-bound on wasted columns,
-                # benchmarks/roi_align_k_probe.py.) Separable bilinear is
-                # order-independent; the bf16 round-trip below matches the
-                # XLA path's blend-in-feature-dtype.
-                pref = patch_ref_fn()
-                for q in range(pool):
-                    # ONE 2C-wide dynamic lane slice per output column
-                    # instead of two C-wide ones: x1 == x0w + 1 by host
-                    # construction (edge clamps fold into the adjusted
-                    # weight — see _route_and_meta's x0w/wx_adj derivation,
-                    # exact for every row). Halves the dynamic-slice ops
-                    # and SMEM scalar reads in the per-ROI hot loop.
-                    x0 = xint_ref[j, 0, q]
-                    wq = wx_ref[j, 0, q]  # scalar (adjusted weight)
-                    a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
-                    if int8_in:
-                        # int8 patches: blend the RAW codes (ints <= 128 are
-                        # exact in bf16); the s_in/127 dequant is linear so
-                        # it rides the post map after the y-matmul instead.
-                        a = a.astype(compute_dtype)
-                    v0 = a[:, 0:chans]
-                    v1 = a[:, chans : 2 * chans]
-                    xb_ref[0:py, q * chans : (q + 1) * chans] = (
-                        (1.0 - wq) * v0 + wq * v1
-                    ).astype(compute_dtype)
-
-                # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
-                # y1r_p, built in ONE vectorized iota-compare expression
-                # from the [pool, 1]-oriented geometry columns (f32
-                # equality on small ints is exact). When y0r==y1r (edge
-                # clamp) the weights sum to 1, matching the XLA path's
-                # v*(1-w) + v*w == v.
-                gv = geom_ref[j]  # [pool, 4]
-                y0c = gv[:, 0:1].astype(jnp.int32)
-                y1c = gv[:, 1:2].astype(jnp.int32)
-                wyc = gv[:, 2:3]
-                iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
-                wy_mat = jnp.where(iota == y0c, 1.0 - wyc, 0.0) + jnp.where(
-                    iota == y1c, wyc, 0.0
-                )
-                out = jax.lax.dot_general(
-                    wy_mat.astype(compute_dtype),
-                    xb_ref[0:py, :],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [pool, pool*C]
-                if quantize_out:
-                    # int8 epilogue: quantize with the consumer head's
-                    # calibrated scales (pre-inverted on the host; with
-                    # int8 inputs the map also carries the s_in dequant:
-                    # round(codes * s_in/s_out)). The bf16 round-trip first
-                    # reproduces the XLA path's pooled-tensor dtype, so for
-                    # float inputs int8 codes match the
-                    # quantize_act(pooled_bf16) result bit-for-bit.
-                    v = out.astype(compute_dtype).astype(jnp.float32)
-                    q = jnp.clip(
-                        jnp.round(v * post_ref[:, :]), -128.0, 127.0
+                @pl.when(state_ref[0] != img)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        feats[len(level_dims) - 1].at[img], b_top, sem_top
                     )
-                    out_ref[j, :, :] = q.astype(jnp.int8)
-                elif int8_in:
-                    # float output of int8 inputs: deferred dequant
-                    out_ref[j, :, :] = (out * post_ref[:, :]).astype(
-                        out_ref.dtype
-                    )
+                    cp.start()
+                    cp.wait()
+                    state_ref[0] = img
+
+            for ci, (py, px) in enumerate(classes):
+                if ci == top_ci:
+                    patch_ref_fn = lambda: b_top
                 else:
-                    out_ref[j, :, :] = out.astype(out_ref.dtype)
+                    patch_ref_fn = lambda j=j, slot=slot: bufs.at[slot, j]
+
+                @pl.when(cls == ci)
+                def _(row=row, ci=ci, py=py, px=px,
+                      patch_ref_fn=patch_ref_fn):
+                    # x-interp FIRST: of the patch's px*C columns, the 7x7
+                    # pool only ever reads pool*C blended ones —
+                    # interpolating x on the patch (7 lane-slice blends of
+                    # [py, C]) before the matmul means the y-matmul
+                    # contracts py into pool*C lanes instead of px*C: 3-8x
+                    # less MXU work per ROI. (Measured on the y-first
+                    # order: 0.85-0.93 us/ROI flat across ROI-size mixes —
+                    # MXU latency-bound on wasted columns,
+                    # benchmarks/roi_align_k_probe.py.) Separable bilinear
+                    # is order-independent; the bf16 round-trip below
+                    # matches the XLA path's blend-in-feature-dtype.
+                    pref = patch_ref_fn()
+                    for q in range(pool):
+                        # ONE 2C-wide dynamic lane slice per output column
+                        # instead of two C-wide ones: x1 == x0w + 1 by host
+                        # construction (edge clamps fold into the adjusted
+                        # weight — see _route_and_meta's x0w/wx_adj
+                        # derivation, exact for every row). Halves the
+                        # dynamic-slice ops and SMEM scalar reads in the
+                        # per-ROI hot loop.
+                        x0 = xint_ref[row, 0, q]
+                        wq = wx_ref[row, 0, q]  # scalar (adjusted weight)
+                        a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
+                        if int8_in:
+                            # int8 patches: blend the RAW codes (ints <= 128
+                            # are exact in bf16); the s_in/127 dequant is
+                            # linear so it rides the post map after the
+                            # y-matmul instead.
+                            a = a.astype(compute_dtype)
+                        v0 = a[:, 0:chans]
+                        v1 = a[:, chans : 2 * chans]
+                        xb_ref[0:py, q * chans : (q + 1) * chans] = (
+                            (1.0 - wq) * v0 + wq * v1
+                        ).astype(compute_dtype)
+
+                    # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
+                    # y1r_p, built in ONE vectorized iota-compare expression
+                    # from the [pool, 1]-oriented geometry columns (f32
+                    # equality on small ints is exact). When y0r==y1r (edge
+                    # clamp) the weights sum to 1, matching the XLA path's
+                    # v*(1-w) + v*w == v.
+                    gv = geom_ref[pl.ds(row, 1), :, :][0]  # [pool, 4]
+                    y0c = gv[:, 0:1].astype(jnp.int32)
+                    y1c = gv[:, 1:2].astype(jnp.int32)
+                    wyc = gv[:, 2:3]
+                    iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
+                    wy_mat = jnp.where(
+                        iota == y0c, 1.0 - wyc, 0.0
+                    ) + jnp.where(iota == y1c, wyc, 0.0)
+                    out = jax.lax.dot_general(
+                        wy_mat.astype(compute_dtype),
+                        xb_ref[0:py, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [pool, pool*C]
+                    if quantize_out:
+                        # int8 epilogue: quantize with the consumer head's
+                        # calibrated scales (pre-inverted on the host; with
+                        # int8 inputs the map also carries the s_in dequant:
+                        # round(codes * s_in/s_out)). The bf16 round-trip
+                        # first reproduces the XLA path's pooled-tensor
+                        # dtype, so for float inputs int8 codes match the
+                        # quantize_act(pooled_bf16) result bit-for-bit.
+                        v = out.astype(compute_dtype).astype(jnp.float32)
+                        qv = jnp.clip(
+                            jnp.round(v * post_ref[:, :]), -128.0, 127.0
+                        )
+                        out_ref[pl.ds(row, 1), :, :] = qv.astype(jnp.int8)[
+                            None
+                        ]
+                    elif int8_in:
+                        # float output of int8 inputs: deferred dequant
+                        out_ref[pl.ds(row, 1), :, :] = (
+                            out * post_ref[:, :]
+                        ).astype(out_ref.dtype)[None]
+                    else:
+                        out_ref[pl.ds(row, 1), :, :] = out.astype(
+                            out_ref.dtype
+                        )[None]
+
+    if m_chunks == 1:
+        chunk(0)  # original static-index lowering
+    else:
+        def body(m, carry):
+            chunk(m)
+            return carry
+
+        jax.lax.fori_loop(0, m_chunks, body, jnp.int32(0))
 
 
 def _route_and_meta(boxes, image_shape, heights, widths, pool, min_level, b, r):
@@ -503,6 +540,7 @@ def batched_multilevel_roi_align_pallas(
     min_level: int = 2,
     interpret: bool = False,
     k_rois: int | None = None,
+    step_rois: int | None = None,
     out_quant: Array | None = None,
     in_scale: Array | None = None,
 ) -> Array:
@@ -510,8 +548,14 @@ def batched_multilevel_roi_align_pallas(
 
     features: per-level [B, H_l, W_l, C]; boxes [B, R, 4] normalized AND
     clipped to [0, 1]; returns [B, R, ph, pw, C] with ph == pw == pool.
-    `k_rois` overrides the ROIs-per-grid-step batching factor (default
-    K_ROIS; higher amortizes per-step fixed costs at more VMEM scratch).
+    `k_rois` overrides the ROIs-in-flight batching factor (default K_ROIS;
+    higher amortizes per-step fixed costs at more VMEM scratch).
+    `step_rois` (a multiple of k_rois; default k_rois) widens each GRID
+    step to cover step_rois ROIs, processed as an in-kernel loop of
+    k_rois-sized chunks over the same double-buffered patch store — the
+    per-step pipelined input-block copies (~1.2-1.9 us/step of fixed cost,
+    5 blocks) amortize across step_rois/k_rois chunks instead of one
+    (config.align_step_rois).
 
     `out_quant`: optional [ph, pw, C] float32 map of the consumer's
     calibrated activation scales — when given the kernel quantizes pooled
@@ -550,10 +594,13 @@ def batched_multilevel_roi_align_pallas(
     meta, xint_arr, wx_arr, geom_arr = rm["meta"], rm["xint"], rm["wx"], rm["geom"]
     zero_row, classes = rm["zero_row"], rm["classes"]
 
-    # pad the ROI axis to a multiple of K_ROIS with benign rows (class 0,
-    # level 0, image 0, zero geometry) — their outputs are sliced off
+    # pad the ROI axis to a multiple of the grid-step width with benign
+    # rows (sentinel class -1: no DMA, no compute) — outputs sliced off
     k_r = k_rois or K_ROIS
-    n_pad = ((n + k_r - 1) // k_r) * k_r
+    step = step_rois or k_r
+    assert step % k_r == 0, (step, k_r)
+    m_chunks = step // k_r
+    n_pad = ((n + step - 1) // step) * step
     pad = n_pad - n
 
     def pad0(a):
@@ -567,9 +614,12 @@ def batched_multilevel_roi_align_pallas(
     wx_arr = pad0(wx_arr)[:, None, :]  # [N', 1, pool]
     geom_arr = pad0(geom_arr)
 
-    # meta_cur block g covers rows [gK, gK+K); meta_next the following K
-    # rows (last block's prefetches target the pad rows — started but
-    # benign: class 0 at level 0 image 0 is always a valid copy)
+    # meta_cur block g covers rows [g*step, (g+1)*step); meta_next is the
+    # table shifted by ONE CHUNK (K rows), so rows [mK, (m+1)K) of any
+    # block are exactly chunk m+1's meta — uniformly across step
+    # boundaries. The final prefetches target the pad rows — started but
+    # benign (sentinel class matches no DMA branch; a real last row is a
+    # valid copy)
     meta_next = jnp.concatenate(
         [meta[k_r:], jnp.tile(meta[-1:], (k_r, 1))], axis=0
     )
@@ -603,28 +653,29 @@ def batched_multilevel_roi_align_pallas(
     max_px = max(px for _, px in classes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_pad // k_r,),
+        grid=(n_pad // step,),
         in_specs=[
             pl.BlockSpec(
-                (k_r, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (step, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (k_r, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (step, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (k_r, 1, pool),
+                (step, 1, pool),
                 lambda g: (g, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (k_r, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+                (step, 1, pool), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((k_r, pool, 4), lambda g: (g, 0, 0)),
+            pl.BlockSpec((step, pool, 4), lambda g: (g, 0, 0)),
             pl.BlockSpec(post.shape, lambda g: (0, 0)),
             *[pl.BlockSpec(memory_space=pl.ANY) for _ in range(4)],
         ],
         out_specs=pl.BlockSpec(
-            (k_r, pool, pool * c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            (step, pool, pool * c), lambda g: (g, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             # unified double-buffered patch store: [slot, j, PYmax, PXmax*C]
@@ -649,7 +700,8 @@ def batched_multilevel_roi_align_pallas(
         2 * k_r * max_py * max_px * c * itemsize  # bufs
         + classes[-1][0] * classes[-1][1] * c * itemsize  # b_top
         + max_py * pool * c * citemsize  # xb (x-blended patch)
-        + 3 * k_r * pool * c * citemsize  # in/out blocks (approx)
+        # double-buffered pipelined blocks: out dominates; geom small
+        + 2 * step * pool * (pool * c * np.dtype(out_dt).itemsize + 16)
     )
     vmem_limit = max(16 * 1024 * 1024, scratch_bytes + 8 * 1024 * 1024)
     out = pl.pallas_call(
@@ -662,6 +714,8 @@ def batched_multilevel_roi_align_pallas(
             compute_dtype=compute_dt,
             quantize_out=quantize_out,
             int8_in=int8_in,
+            k_rois=k_r,
+            m_chunks=m_chunks,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), out_dt),

@@ -100,6 +100,22 @@ class TestPallasRoiAlign:
             np.asarray(got), ref, rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.parametrize("step", [32, 64])
+    def test_step_rois_matches_single_chunk(self, pyramid, step):
+        # Multi-chunk grid steps (config.align_step_rois) run the SAME
+        # per-chunk math over the same double-buffered patch store — the
+        # output must be bit-identical to the default one-chunk-per-step
+        # form, including when the step width forces extra pad rows
+        # (n=96, step=64 -> n_pad=128).
+        boxes = _boxes()
+        base = batched_multilevel_roi_align_pallas(
+            pyramid, boxes, IMAGE, (7, 7), interpret=True
+        )
+        got = batched_multilevel_roi_align_pallas(
+            pyramid, boxes, IMAGE, (7, 7), interpret=True, step_rois=step
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
     def test_int8_out_matches_quantize_act(self, pyramid):
         # out_quant makes the kernel emit int8 directly (cfg.int8_pooled);
         # codes must equal quantizing the kernel's own float output with
