@@ -167,7 +167,7 @@ def main():
             p, acc = carry
             out = f(xint, wx, geom, p)
             s = jnp.sum(out[0].astype(jnp.float32))
-            return p + s * 1e-30, acc + s
+            return p + (s * 1e-30).astype(p.dtype), acc + s
 
         return jax.lax.fori_loop(0, nn, body, (patch, jnp.float32(0)))[1]
 
