@@ -96,6 +96,10 @@ MATRIX = {
     "step64": dict(per_channel_acts=True, align_step_rois=64),
     "step128": dict(per_channel_acts=True, align_step_rois=128),
     "step256": dict(per_channel_acts=True, align_step_rois=256),
+    # r5: skip all-sentinel K-ROI chunks in the align kernel (zero-padding
+    # tails — ~58% of the bench mix's rows — pay ~20 predicate evals each
+    # for no work; one per-chunk flag instead; bit-identical outputs)
+    "skip_chunks": dict(per_channel_acts=True, align_skip_chunks=True),
 }
 
 

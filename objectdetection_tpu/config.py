@@ -214,6 +214,16 @@ class DetectorConfig:
     # Measure via benchmarks/bench_matrix.py (step128 entry) before
     # changing the default.
     align_step_rois: int = 0
+    # Skip whole K-ROI chunks whose rows are ALL sentinel (zero-padding)
+    # rows in the Pallas ROIAlign kernel. Sentinel rows do no DMA/compute
+    # but still pay the full per-ROI predicate scaffolding (~20 scalar
+    # `pl.when` evaluations each — roi_dispatch_probe); zero-padding rows
+    # are contiguous per image (proposal/detection tails), so most live in
+    # all-sentinel chunks guarded by ONE per-chunk flag instead.
+    # Bit-identical outputs (sentinel rows are overwritten outside the
+    # kernel either way). Measure via benchmarks/bench_matrix.py
+    # (skip_chunks entry) before changing the default.
+    align_skip_chunks: bool = False
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

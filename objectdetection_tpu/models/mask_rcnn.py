@@ -138,6 +138,7 @@ class MaskRCNN(nn.Module):
                 feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size),
                 out_quant=out_quant, in_scale=in_scale,
                 step_rois=cfg.align_step_rois or None,
+                skip_chunks=cfg.align_skip_chunks,
             )
         return batched_multilevel_roi_align(
             feats, rois, tuple(cfg.image_shape[:2]), tuple(crop_size)

@@ -104,6 +104,8 @@ def pallas_roi_align_supported(features) -> bool:
 def _kernel(
     meta_ref,  # SMEM int32 [M*K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
     next_ref,  # SMEM int32 [M*K, 1, 8] rows shifted by K (next CHUNK's meta)
+    flag_ref,  # SMEM int32 [M, 1, 1]: 1 if chunk m has any non-sentinel row
+    flag_next_ref,  # SMEM int32 [M, 1, 1]: same, shifted by one chunk
     xint_ref,  # SMEM int32 [M*K, 1, 2*pool]: x0w | unused (patch-relative)
     wx_ref,  # SMEM f32 [M*K, 1, pool]: adjusted x lerp weights (scalar reads)
     geom_ref,  # VMEM f32 [M*K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
@@ -122,6 +124,7 @@ def _kernel(
     int8_in: bool,
     k_rois: int,
     m_chunks: int,
+    skip_chunks: bool,
 ):
     """Each grid step covers m_chunks*k_rois ROIs; the manual patch
     double-buffer stays at K granularity (chunk c's patches were started by
@@ -129,7 +132,15 @@ def _kernel(
     costs — the 5 pipelined input-block copies and grid overhead, measured
     ~1.2-1.9 us/step — across M chunks (config.align_step_rois); with
     m_chunks == 1 the lowering is the original per-step form (all row
-    indices static)."""
+    indices static).
+
+    `skip_chunks` (config.align_skip_chunks) gates each chunk's DMA-issue
+    and per-ROI processing on the precomputed per-chunk any-real flags:
+    all-sentinel chunks (contiguous zero-padding tails — the majority on
+    sparse images) pay ONE predicate instead of ~20*K scalar `pl.when`
+    evaluations. Output rows of skipped chunks stay unwritten, exactly as
+    sentinel rows always were — the caller's zero-row overwrite makes the
+    result bit-identical with the gate off."""
     bufs, b_top, state_ref, xb_ref, sems, sem_top = scratch
     feats = (f2, f3, f4, f5)
     g = pl.program_id(0)
@@ -196,123 +207,138 @@ def _kernel(
         c = g * m_chunks + m
         slot = jax.lax.rem(c, 2)
 
-        @pl.when(c + 1 < n * m_chunks)
+        start_pred = c + 1 < n * m_chunks
+        if skip_chunks:
+            # next chunk all-sentinel: nothing to prefetch (its rows match
+            # no DMA class) — skip the K*~10 issue predicates entirely
+            start_pred = start_pred & (flag_next_ref[m, 0, 0] != 0)
+
+        @pl.when(start_pred)
         def _():
             start_dmas(next_ref, base, 1 - slot)
 
-        for j in range(k_rois):
-            row = base + j
-            cls = meta_ref[row, 0, 2]
+        def process_rows():
+            for j in range(k_rois):
+                row = base + j
+                cls = meta_ref[row, 0, 2]
 
-            @pl.when(cls != top_ci)
-            def _(row=row, j=j, slot=slot):
-                wait_dma(meta_ref, row, j, slot)
+                @pl.when(cls != top_ci)
+                def _(row=row, j=j, slot=slot):
+                    wait_dma(meta_ref, row, j, slot)
 
-            # Full-top-level class: the patch is image i's ENTIRE top
-            # pyramid level, cached across grid steps — ROIs arrive
-            # image-major, so it reloads only B times per batch instead of
-            # once per top-class ROI.
-            @pl.when(cls == top_ci)
-            def _(row=row):
-                img = meta_ref[row, 0, 0]
+                # Full-top-level class: the patch is image i's ENTIRE top
+                # pyramid level, cached across grid steps — ROIs arrive
+                # image-major, so it reloads only B times per batch instead of
+                # once per top-class ROI.
+                @pl.when(cls == top_ci)
+                def _(row=row):
+                    img = meta_ref[row, 0, 0]
 
-                @pl.when(state_ref[0] != img)
-                def _():
-                    cp = pltpu.make_async_copy(
-                        feats[len(level_dims) - 1].at[img], b_top, sem_top
-                    )
-                    cp.start()
-                    cp.wait()
-                    state_ref[0] = img
-
-            for ci, (py, px) in enumerate(classes):
-                if ci == top_ci:
-                    patch_ref_fn = lambda: b_top
-                else:
-                    patch_ref_fn = lambda j=j, slot=slot: bufs.at[slot, j]
-
-                @pl.when(cls == ci)
-                def _(row=row, ci=ci, py=py, px=px,
-                      patch_ref_fn=patch_ref_fn):
-                    # x-interp FIRST: of the patch's px*C columns, the 7x7
-                    # pool only ever reads pool*C blended ones —
-                    # interpolating x on the patch (7 lane-slice blends of
-                    # [py, C]) before the matmul means the y-matmul
-                    # contracts py into pool*C lanes instead of px*C: 3-8x
-                    # less MXU work per ROI. (Measured on the y-first
-                    # order: 0.85-0.93 us/ROI flat across ROI-size mixes —
-                    # MXU latency-bound on wasted columns,
-                    # benchmarks/roi_align_k_probe.py.) Separable bilinear
-                    # is order-independent; the bf16 round-trip below
-                    # matches the XLA path's blend-in-feature-dtype.
-                    pref = patch_ref_fn()
-                    for q in range(pool):
-                        # ONE 2C-wide dynamic lane slice per output column
-                        # instead of two C-wide ones: x1 == x0w + 1 by host
-                        # construction (edge clamps fold into the adjusted
-                        # weight — see _route_and_meta's x0w/wx_adj
-                        # derivation, exact for every row). Halves the
-                        # dynamic-slice ops and SMEM scalar reads in the
-                        # per-ROI hot loop.
-                        x0 = xint_ref[row, 0, q]
-                        wq = wx_ref[row, 0, q]  # scalar (adjusted weight)
-                        a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
-                        if int8_in:
-                            # int8 patches: blend the RAW codes (ints <= 128
-                            # are exact in bf16); the s_in/127 dequant is
-                            # linear so it rides the post map after the
-                            # y-matmul instead.
-                            a = a.astype(compute_dtype)
-                        v0 = a[:, 0:chans]
-                        v1 = a[:, chans : 2 * chans]
-                        xb_ref[0:py, q * chans : (q + 1) * chans] = (
-                            (1.0 - wq) * v0 + wq * v1
-                        ).astype(compute_dtype)
-
-                    # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
-                    # y1r_p, built in ONE vectorized iota-compare expression
-                    # from the [pool, 1]-oriented geometry columns (f32
-                    # equality on small ints is exact). When y0r==y1r (edge
-                    # clamp) the weights sum to 1, matching the XLA path's
-                    # v*(1-w) + v*w == v.
-                    gv = geom_ref[pl.ds(row, 1), :, :][0]  # [pool, 4]
-                    y0c = gv[:, 0:1].astype(jnp.int32)
-                    y1c = gv[:, 1:2].astype(jnp.int32)
-                    wyc = gv[:, 2:3]
-                    iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
-                    wy_mat = jnp.where(
-                        iota == y0c, 1.0 - wyc, 0.0
-                    ) + jnp.where(iota == y1c, wyc, 0.0)
-                    out = jax.lax.dot_general(
-                        wy_mat.astype(compute_dtype),
-                        xb_ref[0:py, :],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [pool, pool*C]
-                    if quantize_out:
-                        # int8 epilogue: quantize with the consumer head's
-                        # calibrated scales (pre-inverted on the host; with
-                        # int8 inputs the map also carries the s_in dequant:
-                        # round(codes * s_in/s_out)). The bf16 round-trip
-                        # first reproduces the XLA path's pooled-tensor
-                        # dtype, so for float inputs int8 codes match the
-                        # quantize_act(pooled_bf16) result bit-for-bit.
-                        v = out.astype(compute_dtype).astype(jnp.float32)
-                        qv = jnp.clip(
-                            jnp.round(v * post_ref[:, :]), -128.0, 127.0
+                    @pl.when(state_ref[0] != img)
+                    def _():
+                        cp = pltpu.make_async_copy(
+                            feats[len(level_dims) - 1].at[img], b_top, sem_top
                         )
-                        out_ref[pl.ds(row, 1), :, :] = qv.astype(jnp.int8)[
-                            None
-                        ]
-                    elif int8_in:
-                        # float output of int8 inputs: deferred dequant
-                        out_ref[pl.ds(row, 1), :, :] = (
-                            out * post_ref[:, :]
-                        ).astype(out_ref.dtype)[None]
+                        cp.start()
+                        cp.wait()
+                        state_ref[0] = img
+
+                for ci, (py, px) in enumerate(classes):
+                    if ci == top_ci:
+                        patch_ref_fn = lambda: b_top
                     else:
-                        out_ref[pl.ds(row, 1), :, :] = out.astype(
-                            out_ref.dtype
-                        )[None]
+                        patch_ref_fn = lambda j=j, slot=slot: bufs.at[slot, j]
+
+                    @pl.when(cls == ci)
+                    def _(row=row, ci=ci, py=py, px=px,
+                          patch_ref_fn=patch_ref_fn):
+                        # x-interp FIRST: of the patch's px*C columns, the 7x7
+                        # pool only ever reads pool*C blended ones —
+                        # interpolating x on the patch (7 lane-slice blends of
+                        # [py, C]) before the matmul means the y-matmul
+                        # contracts py into pool*C lanes instead of px*C: 3-8x
+                        # less MXU work per ROI. (Measured on the y-first
+                        # order: 0.85-0.93 us/ROI flat across ROI-size mixes —
+                        # MXU latency-bound on wasted columns,
+                        # benchmarks/roi_align_k_probe.py.) Separable bilinear
+                        # is order-independent; the bf16 round-trip below
+                        # matches the XLA path's blend-in-feature-dtype.
+                        pref = patch_ref_fn()
+                        for q in range(pool):
+                            # ONE 2C-wide dynamic lane slice per output column
+                            # instead of two C-wide ones: x1 == x0w + 1 by host
+                            # construction (edge clamps fold into the adjusted
+                            # weight — see _route_and_meta's x0w/wx_adj
+                            # derivation, exact for every row). Halves the
+                            # dynamic-slice ops and SMEM scalar reads in the
+                            # per-ROI hot loop.
+                            x0 = xint_ref[row, 0, q]
+                            wq = wx_ref[row, 0, q]  # scalar (adjusted weight)
+                            a = pref[0:py, pl.ds(x0 * chans, 2 * chans)]
+                            if int8_in:
+                                # int8 patches: blend the RAW codes (ints <= 128
+                                # are exact in bf16); the s_in/127 dequant is
+                                # linear so it rides the post map after the
+                                # y-matmul instead.
+                                a = a.astype(compute_dtype)
+                            v0 = a[:, 0:chans]
+                            v1 = a[:, chans : 2 * chans]
+                            xb_ref[0:py, q * chans : (q + 1) * chans] = (
+                                (1.0 - wq) * v0 + wq * v1
+                            ).astype(compute_dtype)
+
+                        # Wy [pool, py]: row p has (1-wy_p) at y0r_p and wy_p at
+                        # y1r_p, built in ONE vectorized iota-compare expression
+                        # from the [pool, 1]-oriented geometry columns (f32
+                        # equality on small ints is exact). When y0r==y1r (edge
+                        # clamp) the weights sum to 1, matching the XLA path's
+                        # v*(1-w) + v*w == v.
+                        gv = geom_ref[pl.ds(row, 1), :, :][0]  # [pool, 4]
+                        y0c = gv[:, 0:1].astype(jnp.int32)
+                        y1c = gv[:, 1:2].astype(jnp.int32)
+                        wyc = gv[:, 2:3]
+                        iota = jax.lax.broadcasted_iota(jnp.int32, (pool, py), 1)
+                        wy_mat = jnp.where(
+                            iota == y0c, 1.0 - wyc, 0.0
+                        ) + jnp.where(iota == y1c, wyc, 0.0)
+                        out = jax.lax.dot_general(
+                            wy_mat.astype(compute_dtype),
+                            xb_ref[0:py, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [pool, pool*C]
+                        if quantize_out:
+                            # int8 epilogue: quantize with the consumer head's
+                            # calibrated scales (pre-inverted on the host; with
+                            # int8 inputs the map also carries the s_in dequant:
+                            # round(codes * s_in/s_out)). The bf16 round-trip
+                            # first reproduces the XLA path's pooled-tensor
+                            # dtype, so for float inputs int8 codes match the
+                            # quantize_act(pooled_bf16) result bit-for-bit.
+                            v = out.astype(compute_dtype).astype(jnp.float32)
+                            qv = jnp.clip(
+                                jnp.round(v * post_ref[:, :]), -128.0, 127.0
+                            )
+                            out_ref[pl.ds(row, 1), :, :] = qv.astype(jnp.int8)[
+                                None
+                            ]
+                        elif int8_in:
+                            # float output of int8 inputs: deferred dequant
+                            out_ref[pl.ds(row, 1), :, :] = (
+                                out * post_ref[:, :]
+                            ).astype(out_ref.dtype)[None]
+                        else:
+                            out_ref[pl.ds(row, 1), :, :] = out.astype(
+                                out_ref.dtype
+                            )[None]
+
+        if skip_chunks:
+            # all-sentinel chunk: one predicate instead of ~20*K —
+            # its out rows stay unwritten (overwritten by the caller's
+            # zero-row select, as sentinel rows always are)
+            pl.when(flag_ref[m, 0, 0] != 0)(process_rows)
+        else:
+            process_rows()
 
     if m_chunks == 1:
         chunk(0)  # original static-index lowering
@@ -543,6 +569,7 @@ def batched_multilevel_roi_align_pallas(
     step_rois: int | None = None,
     out_quant: Array | None = None,
     in_scale: Array | None = None,
+    skip_chunks: bool = False,
 ) -> Array:
     """Drop-in Pallas replacement for `batched_multilevel_roi_align`.
 
@@ -574,6 +601,12 @@ def batched_multilevel_roi_align_pallas(
     output, s_in/s_out folded with `out_quant` for int8 output. Numerics
     match aligning the dequantized features up to bf16 blend rounding
     (tolerance-tested, not bit-exact).
+
+    `skip_chunks` (config.align_skip_chunks): gate each K-ROI chunk's DMA
+    issue and processing on a precomputed per-chunk any-real flag, so
+    all-sentinel chunks (contiguous zero-padding tails) cost one predicate
+    instead of ~20*K. Bit-identical outputs — sentinel rows are
+    overwritten by the zero-row select either way.
     """
     features = list(features)
     b, _, _, c = features[0].shape
@@ -623,6 +656,17 @@ def batched_multilevel_roi_align_pallas(
     meta_next = jnp.concatenate(
         [meta[k_r:], jnp.tile(meta[-1:], (k_r, 1))], axis=0
     )
+    # per-chunk any-real flags (config.align_skip_chunks): chunk c of the
+    # flags_next array holds chunk c+1's flag (the prefetch target); the
+    # wrapped last entry is never read (the c+1 < n guard short-circuits)
+    any_real = (
+        (meta[:, 2].reshape(n_pad // k_r, k_r) != -1)
+        .any(axis=1)
+        .astype(jnp.int32)[:, None, None]
+    )  # [n_chunks, 1, 1] (Mosaic: last two block dims must equal array's)
+    flags_next = jnp.concatenate(
+        [any_real[1:], jnp.zeros((1, 1, 1), jnp.int32)], axis=0
+    )
     meta_cur = meta[:, None, :]
     meta_next = meta_next[:, None, :]
 
@@ -660,6 +704,14 @@ def batched_multilevel_roi_align_pallas(
             ),
             pl.BlockSpec(
                 (step, 1, 8), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (m_chunks, 1, 1), lambda g: (g, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (m_chunks, 1, 1), lambda g: (g, 0, 0),
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (step, 1, pool),
@@ -716,6 +768,7 @@ def batched_multilevel_roi_align_pallas(
             int8_in=int8_in,
             k_rois=k_r,
             m_chunks=m_chunks,
+            skip_chunks=skip_chunks,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, pool, pool * c), out_dt),
@@ -724,6 +777,8 @@ def batched_multilevel_roi_align_pallas(
     )(
         meta_cur,
         meta_next,
+        any_real,
+        flags_next,
         xint_arr,
         wx_arr,
         geom_arr,

@@ -116,6 +116,27 @@ class TestPallasRoiAlign:
         )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
 
+    @pytest.mark.parametrize("step", [None, 32])
+    def test_skip_chunks_bit_identical(self, pyramid, step):
+        # config.align_skip_chunks gates all-sentinel K-ROI chunks behind a
+        # per-chunk flag (their rows do no DMA/compute either way, and their
+        # outputs are overwritten by the zero-row select). Must be
+        # bit-identical to the ungated kernel, including with a long
+        # zero-padding tail (whole chunks sentinel — the skip actually
+        # fires) and with multi-chunk grid steps (flag reads at dynamic m).
+        bx = np.asarray(_boxes())
+        boxes = jnp.asarray(
+            np.concatenate([bx, np.zeros((2, 32, 4), np.float32)], axis=1)
+        )
+        base = batched_multilevel_roi_align_pallas(
+            pyramid, boxes, IMAGE, (7, 7), interpret=True, step_rois=step
+        )
+        got = batched_multilevel_roi_align_pallas(
+            pyramid, boxes, IMAGE, (7, 7), interpret=True, step_rois=step,
+            skip_chunks=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
     def test_int8_out_matches_quantize_act(self, pyramid):
         # out_quant makes the kernel emit int8 directly (cfg.int8_pooled);
         # codes must equal quantizing the kernel's own float output with
