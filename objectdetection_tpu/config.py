@@ -215,15 +215,22 @@ class DetectorConfig:
     # changing the default.
     align_step_rois: int = 0
     # Skip whole K-ROI chunks whose rows are ALL sentinel (zero-padding)
-    # rows in the Pallas ROIAlign kernel. Sentinel rows do no DMA/compute
-    # but still pay the full per-ROI predicate scaffolding (~20 scalar
-    # `pl.when` evaluations each — roi_dispatch_probe); zero-padding rows
-    # are contiguous per image (proposal/detection tails), so most live in
-    # all-sentinel chunks guarded by ONE per-chunk flag instead.
+    # rows in the Pallas ROIAlign kernel, and the DMA-issue loop of chunks
+    # with NO patch-DMA-class row (cached-top and sentinel rows never
+    # issue patch DMAs — on the degenerate bench mix that is every row).
+    # Sentinel rows do no DMA/compute but still pay the full per-ROI
+    # predicate scaffolding (~20 scalar `pl.when` evaluations each —
+    # roi_dispatch_probe); zero-padding rows are contiguous per image
+    # (proposal/detection tails), so most live in all-sentinel chunks
+    # guarded by ONE per-chunk flag instead.
     # Bit-identical outputs (sentinel rows are overwritten outside the
     # kernel either way). Measure via benchmarks/bench_matrix.py
     # (skip_chunks entry) before changing the default.
-    align_skip_chunks: bool = False
+    # Default ON since r5: sentinel-only skipping measured neutral, but
+    # gating the DMA-issue loop on the any-DMA flag measured 424.6 ms/b96
+    # vs 454.2 same-process (−29.6 ms, 226.1 img/s) — the all-top issue
+    # predicates were exposed scalar-core cost on the degenerate mix.
+    align_skip_chunks: bool = True
     # Reproduce the reference's mrcnn box-loss bug (binary CE instead of
     # smooth-L1, loss_optimize.py:195-197) for parity testing only.
     compat_reference_box_loss: bool = False

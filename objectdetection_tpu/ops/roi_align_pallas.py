@@ -105,7 +105,8 @@ def _kernel(
     meta_ref,  # SMEM int32 [M*K, 1, 8] this step's rows: img, li, cls, y0a/8, x0a
     next_ref,  # SMEM int32 [M*K, 1, 8] rows shifted by K (next CHUNK's meta)
     flag_ref,  # SMEM int32 [M, 1, 1]: 1 if chunk m has any non-sentinel row
-    flag_next_ref,  # SMEM int32 [M, 1, 1]: same, shifted by one chunk
+    flag_next_ref,  # SMEM int32 [M, 1, 1]: 1 if chunk m+1 has any
+    # patch-DMA-class row (top/sentinel rows never issue patch DMAs)
     xint_ref,  # SMEM int32 [M*K, 1, 2*pool]: x0w | unused (patch-relative)
     wx_ref,  # SMEM f32 [M*K, 1, pool]: adjusted x lerp weights (scalar reads)
     geom_ref,  # VMEM f32 [M*K, pool, 4]: per-sample y0r, y1r, wy, (wx unused)
@@ -134,8 +135,10 @@ def _kernel(
     m_chunks == 1 the lowering is the original per-step form (all row
     indices static).
 
-    `skip_chunks` (config.align_skip_chunks) gates each chunk's DMA-issue
-    and per-ROI processing on the precomputed per-chunk any-real flags:
+    `skip_chunks` (config.align_skip_chunks) gates, per chunk, (a) the
+    DMA-issue loop on a precomputed any-DMA-class flag — all-top chunks
+    (e.g. the degenerate bench mix) and sentinel tails have nothing to
+    prefetch — and (b) per-ROI processing on an any-real flag:
     all-sentinel chunks (contiguous zero-padding tails — the majority on
     sparse images) pay ONE predicate instead of ~20*K scalar `pl.when`
     evaluations. Output rows of skipped chunks stay unwritten, exactly as
@@ -209,8 +212,10 @@ def _kernel(
 
         start_pred = c + 1 < n * m_chunks
         if skip_chunks:
-            # next chunk all-sentinel: nothing to prefetch (its rows match
-            # no DMA class) — skip the K*~10 issue predicates entirely
+            # next chunk has NO patch-DMA-class row (all sentinel and/or
+            # cached-top rows — the latter are the ENTIRE degenerate bench
+            # mix): nothing to prefetch — skip the K*~10 issue predicates
+            # entirely (flag_next is the any-DMA flag, not any-real)
             start_pred = start_pred & (flag_next_ref[m, 0, 0] != 0)
 
         @pl.when(start_pred)
@@ -603,10 +608,12 @@ def batched_multilevel_roi_align_pallas(
     (tolerance-tested, not bit-exact).
 
     `skip_chunks` (config.align_skip_chunks): gate each K-ROI chunk's DMA
-    issue and processing on a precomputed per-chunk any-real flag, so
-    all-sentinel chunks (contiguous zero-padding tails) cost one predicate
-    instead of ~20*K. Bit-identical outputs — sentinel rows are
-    overwritten by the zero-row select either way.
+    issue on a precomputed any-DMA-class flag (cached-top rows never issue
+    patch DMAs, so all-top chunks skip the issue loop too) and its
+    processing on an any-real flag, so all-sentinel chunks (contiguous
+    zero-padding tails) cost one predicate instead of ~20*K.
+    Bit-identical outputs — start_dmas is a no-op for top/sentinel rows,
+    and sentinel rows are overwritten by the zero-row select either way.
     """
     features = list(features)
     b, _, _, c = features[0].shape
@@ -656,16 +663,29 @@ def batched_multilevel_roi_align_pallas(
     meta_next = jnp.concatenate(
         [meta[k_r:], jnp.tile(meta[-1:], (k_r, 1))], axis=0
     )
-    # per-chunk any-real flags (config.align_skip_chunks): chunk c of the
-    # flags_next array holds chunk c+1's flag (the prefetch target); the
-    # wrapped last entry is never read (the c+1 < n guard short-circuits)
+    # per-chunk flags (config.align_skip_chunks). Two distinct gates:
+    #  - any_real (this chunk): any non-sentinel row — gates process_rows
+    #    (all-sentinel zero-padding tails cost one predicate, not ~20*K);
+    #  - any_dma (next chunk, shifted): any row in a patch-DMA class
+    #    (0 <= cls < top_ci) — gates start_dmas. Cached-top rows never
+    #    issue patch DMAs, so all-top chunks (the ENTIRE degenerate bench
+    #    mix) skip the K*~10 issue predicates too, not just sentinel tails.
+    # Chunk c of flags_next holds chunk c+1's any_dma flag (the prefetch
+    # target); the wrapped last entry is never read (the c+1 < n guard
+    # short-circuits). Bit-identical either way: start_dmas is a no-op for
+    # top/sentinel rows (every issue predicate false).
+    cls_chunks = meta[:, 2].reshape(n_pad // k_r, k_r)
     any_real = (
-        (meta[:, 2].reshape(n_pad // k_r, k_r) != -1)
+        (cls_chunks != -1).any(axis=1).astype(jnp.int32)[:, None, None]
+    )  # [n_chunks, 1, 1] (Mosaic: last two block dims must equal array's)
+    top_ci_host = len(classes) - 1
+    any_dma = (
+        ((cls_chunks >= 0) & (cls_chunks < top_ci_host))
         .any(axis=1)
         .astype(jnp.int32)[:, None, None]
-    )  # [n_chunks, 1, 1] (Mosaic: last two block dims must equal array's)
+    )
     flags_next = jnp.concatenate(
-        [any_real[1:], jnp.zeros((1, 1, 1), jnp.int32)], axis=0
+        [any_dma[1:], jnp.zeros((1, 1, 1), jnp.int32)], axis=0
     )
     meta_cur = meta[:, None, :]
     meta_next = meta_next[:, None, :]

@@ -119,14 +119,27 @@ class TestPallasRoiAlign:
     @pytest.mark.parametrize("step", [None, 32])
     def test_skip_chunks_bit_identical(self, pyramid, step):
         # config.align_skip_chunks gates all-sentinel K-ROI chunks behind a
-        # per-chunk flag (their rows do no DMA/compute either way, and their
-        # outputs are overwritten by the zero-row select). Must be
-        # bit-identical to the ungated kernel, including with a long
-        # zero-padding tail (whole chunks sentinel — the skip actually
-        # fires) and with multi-chunk grid steps (flag reads at dynamic m).
+        # per-chunk any-real flag (their rows do no DMA/compute either way,
+        # and their outputs are overwritten by the zero-row select) and the
+        # DMA-issue loop behind an any-DMA-class flag. Must be bit-identical
+        # to the ungated kernel, including with a long zero-padding tail
+        # (whole chunks sentinel — the process skip actually fires), a full
+        # chunk of consecutive cached-top rows (no patch-DMA class — the
+        # issue skip actually fires), and with multi-chunk grid steps (flag
+        # reads at dynamic m).
         bx = np.asarray(_boxes())
+        top_chunk = np.tile(
+            np.asarray([[0.0, 0.0, 1.0, 1.0]], np.float32), (16, 1)
+        )
         boxes = jnp.asarray(
-            np.concatenate([bx, np.zeros((2, 32, 4), np.float32)], axis=1)
+            np.concatenate(
+                [
+                    np.broadcast_to(top_chunk, (2, 16, 4)),
+                    bx,
+                    np.zeros((2, 32, 4), np.float32),
+                ],
+                axis=1,
+            )
         )
         base = batched_multilevel_roi_align_pallas(
             pyramid, boxes, IMAGE, (7, 7), interpret=True, step_rois=step
